@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Design (SURVEY.md §5.2.2): the driver's tables are TPC-H-ish plus a FLAT
+``documents`` table (doc_id:int64, text, ...) — NOT the engine's spans
+schema.  So the OSM-ish attributes (street, postcode, user, kind, lat/lon)
+are DERIVED deterministically from ``doc_id`` by integer arithmetic that
+both Spark SQL and DuckDB evaluate identically (`_DERIVED_SQL`, one shared
+text).  The Spark side of each audit query then applies the *engine
+operators* (osmspark.operators.*) on that derived view; the oracle side is
+plain DuckDB SQL over the same derivation.  Column names are aliased
+identically on both sides.
+
+Engine ops that are not SQL-expressible (cell indexes, minhash/simhash,
+raster bytes) have no oracle entry -> driver records a rows-only check;
+their real correctness gate is the pytest suite (tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +25,298 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _register(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    for t in tables or TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Shared deterministic derivation (runs verbatim on Spark SQL *and* DuckDB).
+# Integer arithmetic only -> bit-identical across engines.
+# ---------------------------------------------------------------------------
+_STREETS = [
+    "Serangoon Road", "Orchard Rd", "Tampines St", "Bedok St.",
+    "Clementi Street", "Yishun Ave", "Punggol Avenue", "Sengkang Dr",
+    "Holland Drive", "Thomson Blvd", "Changi Boulevard", "Geylang Ln",
+    "Kallang Lane", "Marina Cres", "Beach Crescent", "River Valley Ter",
+    "Mount Faber Terrace", "Keppel Walk", "Labrador Link", "Sentosa Ct",
+    "Jalan Besar", "Jln Ahmad Ibrahim", "Lorong Chuan", "Lor 24 Geylang",
+]
+
+_AMENITIES = ["restaurant", "cafe", "school", "bank", "atm", "parking",
+              "place_of_worship", "hospital", "fuel", "police"]
+
+_KEYS = ["amenity", "addr:street", "addr:postcode", "name", "highway",
+         "bad key", "FIXME", "addr:street:name", "name.zh", "shop"]
+
+_EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _case_pick(expr: str, values: list[str]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"CASE (({expr}) % {len(values)}) {whens} END"
+
+
+# one CTE chain, shared by both engines (appended before each query body)
+_DERIVED_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS d,
+         ((doc_id * 7919) + 777) % 2147483647 AS h1
+  FROM documents
+), hashed AS (
+  SELECT d, h1,
+         (h1 * 48271) % 2147483647 AS h2,
+         ((h1 * 48271) % 2147483647 * 16807) % 2147483647 AS h3
+  FROM base
+), attrs AS (
+  SELECT d, h1, h2, h3,
+    CASE WHEN (h1 % 100) < 60 THEN 'node'
+         WHEN (h1 % 100) < 75 THEN 'way'
+         WHEN (h1 % 100) < 90 THEN 'text'
+         ELSE 'media' END AS kind,
+    {_case_pick('d * 7 + 3', _STREETS)} AS street_raw,
+    CASE WHEN (d % 20) = 0
+           THEN 'S' || lpad(cast((h2 % 10000) as string), 4, '0')
+         WHEN (h3 % 100) >= 95
+           THEN lpad(cast(79000 + (h2 % 3000) as string), 5, '0')
+         ELSE lpad(cast(h2 % 800000 as string), 6, '0') END AS pc_raw,
+    CASE WHEN (h2 % 10) < 4 THEN {_case_pick('h3', _AMENITIES)}
+         ELSE NULL END AS amenity,
+    {_case_pick('h3 + 1', _KEYS)} AS tag_key,
+    'user_' || cast(h2 % 20 as string) AS usr,
+    cast(h2 % 20 as string) AS uid,
+    cast((h3 % 5) + 1 as string) AS version,
+    cast(h2 % 99999 as string) AS changeset,
+    '2016-' || lpad(cast((h1 % 12) + 1 as string), 2, '0') || '-' ||
+      lpad(cast((h2 % 28) + 1 as string), 2, '0') || 'T' ||
+      lpad(cast(h3 % 24 as string), 2, '0') || ':' ||
+      lpad(cast(h1 % 60 as string), 2, '0') || ':00Z' AS ts_str,
+    (h3 % 34000) AS lat_u,
+    (h2 % 50000) AS lon_u
+  FROM hashed
+), derived AS (
+  SELECT d, h1, h2, h3, kind, amenity, tag_key, usr, uid, version,
+         changeset, ts_str, lat_u, lon_u,
+         1.13 + lat_u * 1e-5 AS lat,
+         103.6 + lon_u * 1e-5 AS lon,
+         CASE WHEN kind = 'node' AND (h1 % 10) < 6 THEN street_raw END AS street,
+         CASE WHEN kind = 'node' AND (h1 % 10) < 6 THEN pc_raw END AS pc
+  FROM attrs
+)
+"""
+
+# street-type extraction, shared-SQL form (parity with
+# osmspark.operators.audit.street_type — verified in tests/tools)
+_MALAY_FORMS = "('Jalan','Lorong','Bukit','Taman','Kampong','Lengkok','Jln','Jln.','Lor','Lor.','Bt')"
+_STYPE_SQL = (
+    "CASE WHEN regexp_extract(street, '^([^ ]+)', 1) IN " + _MALAY_FORMS +
+    " THEN regexp_extract(street, '^([^ ]+)', 1)"
+    " ELSE regexp_extract(street, '([^ .]+)[.]?$', 1) END"
+)
+
+
+def _mapping_case(expr: str) -> str:
+    from osmspark.config import STREET_TYPE_MAPPING
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in STREET_TYPE_MAPPING.items()
+    )
+    return f"CASE ({expr}) {whens} ELSE ({expr}) END"
+
+
+_PC_CLASS_SQL = (
+    "CASE WHEN regexp_extract(pc, '^[0-8][0-9]{5}$', 0) <> '' THEN 'valid_sg' "
+    "WHEN regexp_extract(pc, '^[0-9]{5}$', 0) <> '' THEN 'out_of_area' "
+    "ELSE 'invalid' END"
+)
+
+_KEYCLASS_SQL = (
+    "CASE WHEN regexp_extract(tag_key, '^([a-z]|_)+$', 0) <> '' THEN 'lower' "
+    "WHEN regexp_extract(tag_key, '^([a-z]|_)+:([a-z]|_)+$', 0) <> '' THEN 'lower_colon' "
+    "WHEN regexp_extract(tag_key, '[=+/&<>;?%#$@,. ]', 0) <> '' THEN 'problemchars' "
+    "ELSE 'other' END"
+)
+
+# ---------------------------------------------------------------------------
+# Shared-SQL queries: the SAME text runs on spark.sql() and DuckDB.
+# ---------------------------------------------------------------------------
+_SHARED_SQL: dict[str, str] = {
+    # A8+A9+A11 [flagship]: street-type normalization counts
+    "street_norm_counts": _DERIVED_SQL + f"""
+        SELECT {_mapping_case(_STYPE_SQL)} AS normalized_type,
+               count(*) AS cnt
+        FROM derived WHERE street IS NOT NULL
+        GROUP BY 1""",
+    # A9+A10: unexpected street types (scalar projections of the example set)
+    "unexpected_street_types": _DERIVED_SQL + f"""
+        SELECT stype, count(*) AS cnt,
+               count(DISTINCT street) AS n_names,
+               min(street) AS first_name, max(street) AS last_name
+        FROM (SELECT street, {_STYPE_SQL} AS stype
+              FROM derived WHERE street IS NOT NULL) t
+        WHERE stype NOT IN ('Street','Avenue','Boulevard','Drive','Court',
+          'Place','Square','Lane','Road','Trail','Parkway','Commons',
+          'Crescent','Close','Terrace','Walk','Link','Park','Green','Grove',
+          'Highway','Jalan','Lorong','Bukit','Taman','Kampong','Lengkok')
+        GROUP BY stype""",
+    # A12: postcode-validity partition
+    "postcode_partition": _DERIVED_SQL + f"""
+        SELECT {_PC_CLASS_SQL} AS pc_class, count(*) AS cnt
+        FROM derived WHERE pc IS NOT NULL GROUP BY 1""",
+    # A5: tag-key classification buckets
+    "key_class_counts": _DERIVED_SQL + f"""
+        SELECT {_KEYCLASS_SQL} AS bucket, count(*) AS cnt
+        FROM derived GROUP BY 1""",
+    # A4: element/tag-name frequency
+    "element_counts": _DERIVED_SQL + """
+        SELECT kind, count(*) AS cnt FROM derived GROUP BY kind""",
+    # A17 analogues on the events table
+    "tag_frequency_events": """
+        SELECT event_type AS kind, count(*) AS cnt
+        FROM events GROUP BY event_type""",
+    # A6: distinct contributors
+    "distinct_users": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    # A18: top-k contributors (deterministic tie-break)
+    "top_users": """
+        SELECT user_id, count(*) AS cnt FROM events
+        GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10""",
+    # A19: histogram of per-user post counts
+    "user_post_histogram": """
+        SELECT cnt AS n_posts, count(*) AS n_users
+        FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) t
+        GROUP BY cnt""",
+    # A20: exists-filter + top-k
+    "top_amenities": _DERIVED_SQL + """
+        SELECT amenity, count(*) AS cnt FROM derived
+        WHERE amenity IS NOT NULL
+        GROUP BY amenity ORDER BY cnt DESC, amenity ASC LIMIT 10""",
+    # A2: systematic sampling (every k-th document)
+    "sample_every_k": """
+        SELECT count(*) AS n_sampled, min(doc_id) AS first_id,
+               max(doc_id) AS last_id
+        FROM documents WHERE (doc_id % 10) = 0""",
+    # A13/A14: shaped `created` sub-document, flat projection
+    "shape_created": _DERIVED_SQL + """
+        SELECT d AS id, version, changeset, ts_str AS created_ts,
+               usr, uid, lat_u, lon_u
+        FROM derived WHERE kind = 'node' AND d < 500""",
+    # Tier-C demo: TPC-H Q1 pricing summary (integer-stable aggregates)
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               cast(round(sum(l_quantity)) as bigint) AS sum_qty,
+               cast(round(sum(l_extendedprice) * 100) as bigint) AS sum_base_price_c,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    # Tier-C demo: multi-join rollup (customer -> nation -> region)
+    "revenue_by_nation": """
+        SELECT n.n_name AS nation, count(*) AS n_orders,
+               cast(round(sum(o.o_totalprice) * 100) as bigint) AS revenue_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    # Tier-C demo: time rollup on the events stream table
+    "events_daily": """
+        SELECT cast(ts AS DATE) AS day, event_type,
+               count(*) AS cnt,
+               cast(round(sum(value) * 100) as bigint) AS value_c
+        FROM events GROUP BY 1, 2""",
+    # dedup: exact duplicate stats over document text
+    "exact_dedup_stats": """
+        SELECT count(*) AS n_total,
+               count(DISTINCT md5(text)) AS n_unique,
+               count(*) - count(DISTINCT md5(text)) AS n_dupes
+        FROM documents""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Engine-backed queries (Spark side = osmspark operators; oracle = DuckDB SQL)
+# ---------------------------------------------------------------------------
+def _derived_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    return spark.sql(_DERIVED_SQL + "SELECT * FROM derived")
+
+
+def _q_street_norm_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as street_norm_counts but via the engine operator chain
+    (audit.street_type + mapping rewrite) — proves operator/SQL parity."""
+    from osmspark.operators import audit
+
+    streets = _derived_df(spark, sf_dir).filter(F.col("street").isNotNull())
+    return audit.normalized_street_counts(streets).select(
+        "normalized_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _q_postcode_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators import audit
+
+    d = _derived_df(spark, sf_dir).filter(F.col("pc").isNotNull())
+    return (
+        d.select(audit.postcode_class("pc").alias("pc_class"))
+        .groupBy("pc_class").agg(F.count("*").alias("cnt"))
+    )
+
+
+_ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "street_norm_counts_engine": _q_street_norm_engine,
+    "postcode_partition_engine": _q_postcode_engine,
+}
+
+_ENGINE_ORACLES: dict[str, str] = {
+    "street_norm_counts_engine": _SHARED_SQL["street_norm_counts"],
+    "postcode_partition_engine": _SHARED_SQL["postcode_partition"],
+}
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship end-to-end slice (SURVEY §7.1 M1) on sf0.001: spansify the
+    driver documents into the input_hint schema -> B1 span extraction ->
+    A7 street filter -> A8+A11 normalize -> group-count."""
+    from osmspark.datagen import documents_from_ids
+    from osmspark.operators import audit
+    from osmspark.sources import parse_nodes
+
+    flat = spark.read.parquet(f"{DEFAULT_SF_DIR}/documents.parquet")
+    docs = documents_from_ids(flat, "doc_id")
+    nodes = parse_nodes(docs)
+    return audit.normalized_street_counts(audit.streets(nodes))
+
+
+def _make_sql_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _make_sql_runner(sql) for name, sql in _SHARED_SQL.items()
+    }
+    q.update(_ENGINE_QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = dict(_SHARED_SQL)
+    d.update(_ENGINE_ORACLES)
+    return d
