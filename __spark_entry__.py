@@ -251,6 +251,343 @@ def _derived_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DERIVED_SQL + "SELECT * FROM derived")
 
 
+def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived node points (d, lat, lon, lat_u, lon_u)."""
+    return _derived_df(spark, sf_dir).filter(F.col("kind") == "node").select(
+        "d", "lat", "lon", "lat_u", "lon_u"
+    )
+
+
+# --- B4: PIP join vs rectangle oracle --------------------------------------
+# bounds end in ...005 => unreachable by derived coords (multiples of 1e-5):
+# no boundary ties, so ray-cast and strict bbox SQL agree exactly.
+_RECTS = []
+for _i, (_la0, _la1) in enumerate([(1.135005, 1.235005), (1.235005, 1.335005),
+                                   (1.335005, 1.435005)]):
+    for _j, (_lo0, _lo1) in enumerate([(103.605005, 103.845005),
+                                       (103.845005, 104.085005)]):
+        _RECTS.append((f"rect-{_i}{_j}", _la0, _la1, _lo0, _lo1))
+
+_RECTS_SQL_VALUES = ", ".join(
+    f"('{rid}', {la0}, {la1}, {lo0}, {lo1})"
+    for rid, la0, la1, lo0, lo1 in _RECTS
+)
+
+
+def _q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase cell-prefilter + ray-cast PIP join (osmspark B4) counted
+    per polygon; the oracle is the equivalent strict-bbox SQL."""
+    from osmspark.operators.spatial_join import spatial_join
+
+    pts = _points_df(spark, sf_dir)
+    rows = []
+    for rid, la0, la1, lo0, lo1 in _RECTS:
+        ring = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+        rows.append((rid, "zip", [{"lat": a, "lon": o} for a, o in ring], None))
+    polys = spark.createDataFrame(
+        rows,
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    return (
+        spatial_join(pts, polys, res=7)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_PIP_ORACLE = _DERIVED_SQL + f"""
+    SELECT r.poly_id AS poly_id, count(*) AS cnt
+    FROM derived d
+    JOIN (VALUES {_RECTS_SQL_VALUES}) AS r(poly_id, la0, la1, lo0, lo1)
+      ON d.kind = 'node'
+     AND d.lat > r.la0 AND d.lat < r.la1
+     AND d.lon > r.lo0 AND d.lon < r.lo1
+    GROUP BY r.poly_id"""
+
+
+# --- B5: kNN (k-ring operator) vs window-SQL oracle ------------------------
+_KNN_QUERIES = [("q0", 1.29, 103.85), ("q1", 1.35, 103.69),
+                ("q2", 1.44, 103.79), ("q3", 1.20, 104.05),
+                ("q4", 1.46, 103.62)]
+_KNN_SQL_VALUES = ", ".join(f"('{q}', {a}, {o})" for q, a, o in _KNN_QUERIES)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.knn import knn_kring
+
+    pts = _points_df(spark, sf_dir).select(
+        F.col("d").cast("string").alias("id"), "lat", "lon"
+    )
+    qdf = spark.createDataFrame(
+        _KNN_QUERIES, "query_id string, lat double, lon double"
+    )
+    return knn_kring(pts, qdf, k=10, res=8, metric="sq_deg").select(
+        "query_id", "rank", "point_id"
+    )
+
+
+_KNN_ORACLE = _DERIVED_SQL + f"""
+    SELECT query_id, rank, point_id FROM (
+      SELECT q.query_id AS query_id,
+             cast(d.d as string) AS point_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (d.lat - q.qlat)*(d.lat - q.qlat)
+                      + (d.lon - q.qlon)*(d.lon - q.qlon) ASC,
+                        cast(d.d as string) ASC
+             ) AS rank
+      FROM derived d
+      JOIN (VALUES {_KNN_SQL_VALUES}) AS q(query_id, qlat, qlon)
+        ON d.kind = 'node'
+    ) t WHERE rank <= 10"""
+
+
+# --- B6: integer-grid tiles + sparse raster --------------------------------
+def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.tiles import int_tile_counts
+
+    return int_tile_counts(_points_df(spark, sf_dir), cell_deg_u=4000)
+
+
+_TILE_ORACLE = _DERIVED_SQL + """
+    SELECT cast(floor(lon_u / 4000.0) as bigint) AS tile_x,
+           cast(floor(lat_u / 4000.0) as bigint) AS tile_y,
+           count(*) AS cnt
+    FROM derived WHERE kind = 'node'
+    GROUP BY 1, 2"""
+
+
+def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16x16 pixel binning inside integer tiles, as sparse
+    (tile, pix, cnt) rows — the hash-comparable tile-assignment surface."""
+    pts = _points_df(spark, sf_dir)
+    return (
+        pts.withColumn("tile_x", F.floor(F.col("lon_u") / F.lit(4000.0)).cast("long"))
+        .withColumn("tile_y", F.floor(F.col("lat_u") / F.lit(4000.0)).cast("long"))
+        .withColumn(
+            "pix",
+            (F.floor(F.pmod(F.col("lat_u"), F.lit(4000)) / F.lit(250.0)) * 16
+             + F.floor(F.pmod(F.col("lon_u"), F.lit(4000)) / F.lit(250.0))
+             ).cast("long"),
+        )
+        .groupBy("tile_x", "tile_y", "pix")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_RASTER_ORACLE = _DERIVED_SQL + """
+    SELECT cast(floor(lon_u / 4000.0) as bigint) AS tile_x,
+           cast(floor(lat_u / 4000.0) as bigint) AS tile_y,
+           cast(floor((lat_u % 4000) / 250.0) * 16
+                + floor((lon_u % 4000) / 250.0) as bigint) AS pix,
+           count(*) AS cnt
+    FROM derived WHERE kind = 'node'
+    GROUP BY 1, 2, 3"""
+
+
+# --- dedup / text / similarity ---------------------------------------------
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.dedup import exact_dedup
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return exact_dedup(docs).select("doc_id", "n_copies")
+
+
+_EXACT_DEDUP_ORACLE = """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, F.col("lang"), n=3)
+
+
+_NGRAM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) < 3 THEN []
+               ELSE [array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)] END) AS sh
+      FROM t
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           len(list_intersect(l.sh, r.sh)) AS inter_sz,
+           len(list_distinct(list_concat(l.sh, r.sh))) AS union_sz
+    FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id"""
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.textstats import text_stats
+
+    _register(spark, sf_dir, ["documents"])
+    return text_stats(spark.table("documents")).select(
+        "doc_id", "n_tokens", "n_stopwords", "lang_id", "quality"
+    )
+
+
+_TEXT_STATS_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+             END AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is',
+                            'it','that','for','on','with','as','at','by',
+                            'this'))) AS n_stopwords,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           CASE WHEN n_tokens = 0 THEN 'empty'
+                WHEN (n_stopwords * 100) >= (n_tokens * 8) THEN 'en'
+                ELSE 'unknown' END AS lang_id,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE cast(floor(
+                  least(n_chars, 400) / 8.0
+                  + least(n_stopwords * 10, 30)
+                  + greatest(20 - n_punct * 2, 0)) as int)
+           END AS quality
+    FROM t"""
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.similarity import cosine_topk_bruteforce
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+_ANN_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT query_id, rank, vec_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id ASC
+             ) AS rank
+      FROM e JOIN e q ON q.vec_id < 5
+    ) t WHERE rank <= 5"""
+
+
+# --- rows-only engine queries (no SQL equivalent; pytest is the gate) ------
+def _q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.functions.hexgrid import with_hex_cell
+
+    pts = _points_df(spark, sf_dir)
+    return (
+        with_hex_cell(pts, 8)
+        .groupBy("hex_r8").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("hex_r8")).limit(50)
+    )
+
+
+def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.functions.s2 import with_s2_cell
+
+    pts = _points_df(spark, sf_dir)
+    return (
+        with_s2_cell(pts, 12)
+        .groupBy("s2_l12").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("s2_l12")).limit(50)
+    )
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.dedup import minhash_dedup_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    return minhash_dedup_pairs(
+        spark.table("documents"), threshold=0.5, num_perm=64, bands=16
+    ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.dedup import simhash_near_dup_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    return simhash_near_dup_pairs(spark.table("documents"), max_hamming=8)
+
+
+def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.knn import knn_kring
+
+    pts = _points_df(spark, sf_dir).select(
+        F.col("d").cast("string").alias("id"), "lat", "lon"
+    )
+    qdf = spark.createDataFrame(
+        _KNN_QUERIES, "query_id string, lat double, lon double"
+    )
+    return knn_kring(pts, qdf, k=10, res=8, metric="haversine").select(
+        "query_id", "rank", "point_id", F.round("dist", 3).alias("dist_m")
+    )
+
+
+def _q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.tiles import render_density_tiles
+
+    return render_density_tiles(_points_df(spark, sf_dir), zoom=12, px=16)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.datagen import documents_from_ids
+    from osmspark.operators.multimodal import extract_features, media_table
+
+    _register(spark, sf_dir, ["documents"])
+    docs = documents_from_ids(spark.table("documents"), "doc_id")
+    return extract_features(media_table(docs)).select(
+        "doc_id", "media_ref", "media_type", "n_bytes"
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmspark.operators.textstats import fingerprint_udf
+
+    _register(spark, sf_dir, ["documents"])
+    return spark.table("documents").select(
+        "doc_id", fingerprint_udf(8)(F.col("text")).alias("fp")
+    )
+
+
+def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant sweep (input_hint [D]) over spansified docs:
+    returns one row with the violation count (must be 0)."""
+    from osmspark.datagen import documents_from_ids
+    from osmspark.sources import span_sequence_violations
+
+    _register(spark, sf_dir, ["documents"])
+    docs = documents_from_ids(spark.table("documents"), "doc_id")
+    return span_sequence_violations(docs).agg(
+        F.count("*").alias("n_violations")
+    )
+
+
+_SPAN_INVARIANT_ORACLE = "SELECT cast(0 as bigint) AS n_violations FROM (SELECT 1)"
+
+
 def _q_street_norm_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as street_norm_counts but via the engine operator chain
     (audit.street_type + mapping rewrite) — proves operator/SQL parity."""
@@ -275,12 +612,41 @@ def _q_postcode_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "street_norm_counts_engine": _q_street_norm_engine,
     "postcode_partition_engine": _q_postcode_engine,
+    "pip_rect_join": _q_pip_rect,
+    "knn_sq_deg": _q_knn,
+    "tile_counts_int": _q_tile_counts,
+    "tile_raster_sparse": _q_tile_raster,
+    "exact_dedup_keep": _q_exact_dedup,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "text_stats": _q_text_stats,
+    "ann_cosine_topk": _q_ann_cosine,
+    "span_invariant": _q_span_invariant,
+    # rows-only (non-SQL-expressible; correctness gated in tests/)
+    "hex_cell_counts": _q_hex_cells,
+    "s2_cell_counts": _q_s2_cells,
+    "minhash_near_dups": _q_minhash,
+    "simhash_near_dups": _q_simhash,
+    "knn_haversine": _q_knn_haversine,
+    "tile_render_raster": _q_tile_render,
+    "media_features": _q_media_features,
+    "doc_fingerprints": _q_fingerprints,
 }
 
 _ENGINE_ORACLES: dict[str, str] = {
     "street_norm_counts_engine": _SHARED_SQL["street_norm_counts"],
     "postcode_partition_engine": _SHARED_SQL["postcode_partition"],
+    "pip_rect_join": _PIP_ORACLE,
+    "knn_sq_deg": _KNN_ORACLE,
+    "tile_counts_int": _TILE_ORACLE,
+    "tile_raster_sparse": _RASTER_ORACLE,
+    "exact_dedup_keep": _EXACT_DEDUP_ORACLE,
+    "ngram_jaccard": _NGRAM_ORACLE,
+    "text_stats": _TEXT_STATS_ORACLE,
+    "ann_cosine_topk": _ANN_ORACLE,
+    "span_invariant": _SPAN_INVARIANT_ORACLE,
 }
+
+
 
 
 # ---------------------------------------------------------------------------

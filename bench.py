@@ -1,0 +1,157 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the north-star pipeline (BASELINE.json:metric): interleaved
+documents -> span extraction -> hex cell assignment -> two-phase PIP join ->
+tile assignment, reported as docs/sec.
+
+The spans input is generated Spark-side (osmspark.datagen — deterministic,
+distributed, no Python per row) and cached as parquet under /tmp keyed by
+doc count, so repeated runs measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_DOCS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+CACHE_ROOT = "/tmp/osmspark-bench"
+
+
+def ensure_docs(spark, n_docs: int) -> str:
+    """Generate-and-cache the spans documents table."""
+    from osmspark.datagen import gen_documents
+
+    path = f"{CACHE_ROOT}/docs_{n_docs}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        gen_documents(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    n_docs = N_DOCS_BY_SF.get(sf, 200_000)
+
+    from osmspark.datagen import gen_polygons
+    from osmspark.functions.hexgrid import with_hex_cell
+    from osmspark.operators import audit
+    from osmspark.operators.knn import knn_kring
+    from osmspark.operators.spatial_join import spatial_join
+    from osmspark.operators.tiles import render_density_tiles, tile_counts
+    from osmspark.session import build_session
+    from osmspark.sources import parse_nodes
+
+    spark = build_session("osmspark-bench", cores=cpus)
+    docs_path = ensure_docs(spark, n_docs)
+    docs = spark.read.parquet(docs_path)
+    polys = gen_polygons(spark)
+
+    queries: dict[str, float] = {}
+
+    # warm the JVM + file cache with a trivial action (not measured)
+    docs.select("doc_id").limit(10).count()
+
+    # Q1 headline: extract -> cell -> PIP join -> count per polygon level
+    def q_spatial():
+        nodes = parse_nodes(docs).select("id", "lat", "lon")
+        joined = spatial_join(nodes, polys, res=7)
+        return joined.groupBy("level").agg(F.count("*").alias("cnt")).collect()
+
+    _, t_spatial = timed(q_spatial)
+    queries["spatial_pip_join"] = round(t_spatial, 3)
+
+    # Q2: tile assignment + density raster (z12, 64px)
+    def q_tiles():
+        nodes = parse_nodes(docs).select("lat", "lon")
+        tc = tile_counts(nodes, zoom=12)
+        rr = render_density_tiles(nodes, zoom=12, px=64)
+        return tc.count() + rr.count()
+
+    _, t_tiles = timed(q_tiles)
+    queries["tile_render"] = round(t_tiles, 3)
+
+    # Q3: hex cell assignment alone (the UDF hot path)
+    def q_cells():
+        nodes = parse_nodes(docs).select("lat", "lon")
+        return with_hex_cell(nodes, 9).agg(
+            F.countDistinct("hex_r9")
+        ).collect()
+
+    _, t_cells = timed(q_cells)
+    queries["hex_cell_assign"] = round(t_cells, 3)
+
+    # Q4: flagship audit (street normalization counts)
+    def q_audit():
+        nodes = parse_nodes(docs)
+        return audit.normalized_street_counts(audit.streets(nodes)).collect()
+
+    _, t_audit = timed(q_audit)
+    queries["audit_normalize"] = round(t_audit, 3)
+
+    # Q5: kNN, 50 queries k=10 over extracted points
+    def q_knn():
+        nodes = parse_nodes(docs).select("id", "lat", "lon")
+        qs = nodes.limit(50).select(
+            F.col("id").alias("query_id"), "lat", "lon"
+        )
+        return knn_kring(nodes, qs, k=10, res=8).count()
+
+    _, t_knn = timed(q_knn)
+    queries["knn_kring_50q"] = round(t_knn, 3)
+
+    # Q6: TPC-H Q1 on the driver lineitem table (Tier-C breadth)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def q_tpch():
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"), F.sum("l_extendedprice"),
+                F.avg("l_discount"), F.count("*"),
+            )
+            .collect()
+        )
+
+    _, t_tpch = timed(q_tpch)
+    queries["tpch_q1"] = round(t_tpch, 3)
+
+    total = round(sum(queries.values()), 3)
+    docs_per_sec = round(n_docs / t_spatial, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                "spatial_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Deduplication operators over a `documents(text)`-style table — the
+training-data-pipeline tier (task spec: exact, MinHash+LSH, SimHash,
+n-gram Jaccard).  No counterpart exists in the reference (its only
+dedup-adjacent construct is set-membership in audit.py [C]); these are the
+web-scale generalization mandated alongside SURVEY §2.2.
+
+Scale design:
+  * exact: hash-groupBy — one shuffle on a 64/128-bit digest, never on the
+    raw text.
+  * MinHash+LSH: signatures via one Arrow pandas UDF (numpy universal
+    hashing over token shingles); banding -> explode(bands) -> groupBy
+    (band_id, band_hash) -> candidate pairs only within buckets.  The
+    pairwise O(n^2) step exists only inside an LSH bucket.
+  * SimHash: 64-bit fingerprint; near-dup = hamming distance <= t, banded
+    into 4x16-bit blocks for candidate generation.
+  * n-gram Jaccard: exact verification metric for candidate pairs (native
+    array_intersect/array_union — JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per distinct text; adds group size.
+
+    Digest-first: the shuffle key is xxhash64(text), not the text payload."""
+    w = Window.partitionBy("__h").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("__h")))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# --- tokenization / shingles (shared) --------------------------------------
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, lowercased — native split (JVM-side)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles_col(n: int = 3, text_col: str = "text"):
+    """Word n-gram shingles as array<string> (native transform over slice).
+
+    Guarded for short/empty docs: Spark's sequence(0, -1) would generate a
+    DESCENDING sequence, not an empty one."""
+    toks = tokens_col(text_col)
+    m = F.size(toks) - F.lit(n - 1)
+    return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_tokens_to_u64(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit FNV-1a over token bytes (numpy-friendly, deterministic
+    across processes — unlike Python's salted hash())."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
+    """pandas UDF: text -> array<long> MinHash signature (universal hashing
+    h_i(x) = (a_i*x + b_i) mod p over shingle FNV hashes, vectorized)."""
+    a, b = minhash_params(num_perm, seed)
+    p = np.uint64(_MERSENNE)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(text: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_perm, np.int64(_MERSENNE - 1))
+        for t in text:
+            toks = (t or "").lower().split()
+            sh = [" ".join(toks[i:i + shingle_n])
+                  for i in range(max(len(toks) - shingle_n + 1, 0))]
+            if not sh:
+                out.append(empty)
+                continue
+            x = _hash_tokens_to_u64(list(set(sh)))  # (s,)
+            # (num_perm, s) universal hashes -> min over shingles
+            hv = (a[:, None] * x[None, :] + b[:, None]) % p
+            out.append(hv.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 64, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col), minhash_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash LSH banding: (band_id, hash(rows-of-band)) buckets ->
+    within-bucket pairs (a < b), distinct.  Scale: the only shuffle is on
+    (band_id, band_hash); pair blowup is bounded by bucket size."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.slice(
+                        F.col("sig"),
+                        bnd * (F.size("sig") / bands).cast("int") + 1,
+                        (F.size("sig") / bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact signature-estimated
+    Jaccard (fraction of matching minhashes) >= threshold."""
+    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col).cache()
+    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "a").join(b, "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda v: v))
+            / F.size("sig_a"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "a", "b", "est_jaccard"
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash_udf(seed: int = 42):
+    """pandas UDF: text -> 64-bit SimHash over word tokens."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = (t or "").lower().split()
+            if not toks:
+                out[i] = 0
+                continue
+            hv = _hash_tokens_to_u64(toks)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            word = 0
+            for bit in np.nonzero(v > 0)[0]:
+                word |= 1 << int(bit)
+            out[i] = word - (1 << 64) if word >= (1 << 63) else word
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs via 4x16-bit block banding (pigeonhole: hamming<=3
+    implies >=1 identical block), verified by exact popcount distance."""
+    sh = docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
+    blocks = sh.select(
+        id_col, "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("block_id", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+# --- exact n-gram Jaccard (verification metric / oracle-friendly) ----------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs-within-block word-n-gram Jaccard, as integer intersection /
+    union sizes (native array ops — exactly reproducible in SQL oracles).
+
+    block_col: Column limiting the quadratic blowup (e.g. same source+lang)."""
+    base = docs.select(
+        F.col(id_col),
+        block_col.alias("block"),
+        F.array_distinct(shingles_col(n, text_col)).alias("sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.size(F.array_intersect("l.sh", "r.sh")).alias("inter_sz"),
+            F.size(F.array_union("l.sh", "r.sh")).alias("union_sz"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Multimodal columns (task spec): image/audio/video as opaque `binary`
+columns with typed metadata.
+
+The Spark-side plumbing — schema, partition-preserving mapInPandas, Arrow
+batch shape, deterministic fake features — is real and tested; the actual
+codec decode is STUBBED (no image/audio libraries exist in this sandbox):
+`decode_stub=True` produces deterministic pseudo-features from the bytes,
+`decode_stub=False` raises NotImplementedError at the exact point a real
+decoder (PIL/ffmpeg) would be called.
+
+Media rows originate from the documents table's media spans
+(kind='media', media_ref='media://<hash>') — SURVEY §1.2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("payload", T.BinaryType()),      # opaque bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """documents -> media rows with synthetic opaque payloads.
+
+    Payload bytes are a deterministic function of media_ref (sha256-seeded)
+    — stands in for fetching the blob from object storage; everything
+    downstream treats them as opaque binary."""
+    from ..sources.spans import explode_spans
+
+    media = explode_spans(docs, kinds=["media"]).filter(F.col("media_ref") != "")
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("media_ref"), F.lit(3)) + 1).cast("int"),
+    )
+    return media.select(
+        "doc_id",
+        "media_ref",
+        mt.alias("media_type"),
+        F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
+        F.map_from_arrays(
+            F.array(F.lit("source_offset"), F.lit("codec")),
+            F.array(F.col("offset").cast("string"),
+                    F.concat(F.lit("fake/"), mt)),
+        ).alias("meta"),
+    )
+
+
+FEATURE_DIM = 16
+
+_FEATURES_OUT = (
+    "doc_id string, media_ref string, media_type string, "
+    f"n_bytes long, features array<double>"
+)
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over opaque payloads.
+
+    Real pipeline shape: iterator of Arrow batches in, per-batch numpy work,
+    feature vectors out — identical plumbing whether the inner step is a
+    real decoder or the stub."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg — not in sandbox"
+                    )
+                # deterministic fake 'embedding': bytes -> seeded gaussian
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(payload)).digest()[:8], "big"
+                ) % (2**32)
+                feats.append(
+                    np.random.default_rng(seed).standard_normal(FEATURE_DIM)
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "features": feats,
+            })
+
+    return media.mapInPandas(run, schema=_FEATURES_OUT)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: passes payload through mapInPandas with the
+    target dims recorded in meta; the pixel work is the stubbed step."""
+    out_schema = media.schema
+
+    def run(batches):
+        for pdf in batches:
+            meta = [
+                {**(m or {}), "resized": f"{width}x{height}"}
+                for m in pdf["meta"]
+            ]
+            pdf = pdf.assign(meta=meta)
+            yield pdf
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame with
+    frame_idx; frame bytes are deterministic slices of the payload (stub)."""
+    out = ("doc_id string, media_ref string, frame_idx int, frame_bytes binary")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "media_ref": [], "frame_idx": [],
+                    "frame_bytes": []}
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "video":
+                    continue
+                payload = bytes(r["payload"])
+                n_frames = max(len(payload) // 4, 1)
+                for fi in range(0, n_frames, every_n):
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["media_ref"].append(r["media_ref"])
+                    rows["frame_idx"].append(fi)
+                    rows["frame_bytes"].append(payload[fi * 4:(fi + 1) * 4])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=out)

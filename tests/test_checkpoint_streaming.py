@@ -1,0 +1,94 @@
+"""B8 checkpoint/resume + lineage; Structured Streaming demo parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.plans.checkpoint import SnapshotStore
+from osmspark.streaming import events as ev
+
+
+def test_save_load_roundtrip(tmp_path, spark, nodes):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df = nodes.select("id", "lat", "lon")
+    m = store.save(df, "points", inputs=["fixture:docs300"])
+    assert m["committed"] and m["n_rows"] == df.count()
+    assert sum(p["rows"] for p in m["partitions"]) == m["n_rows"]
+    assert len(m["partitions"]) >= 1
+    back = store.load(spark, "points")
+    assert back.count() == df.count()
+    assert set(back.columns) == {"id", "lat", "lon"}
+
+
+def test_run_stage_resumes_without_recompute(tmp_path, spark, nodes):
+    store = SnapshotStore(str(tmp_path / "snap2"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return nodes.select("id", "lat")
+
+    a = store.run_stage(spark, "s1", build)
+    b = store.run_stage(spark, "s1", build)   # must load, not recompute
+    assert calls["n"] == 1
+    n_a = a.count()
+    assert n_a == b.count()
+    c = store.run_stage(spark, "s1", build, force=True)
+    assert calls["n"] == 2 and c.count() == n_a
+
+
+def test_uncommitted_stage_is_recomputed(tmp_path, spark, nodes):
+    """Kill-mid-write simulation: stage dir exists but manifest absent."""
+    store = SnapshotStore(str(tmp_path / "snap3"))
+    # simulate a crashed write: data present, no manifest commit
+    nodes.select("id").write.mode("overwrite").parquet(
+        str(tmp_path / "snap3" / "crashy")
+    )
+    assert not store.is_complete("crashy")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return nodes.select("id")
+
+    store.run_stage(spark, "crashy", build)
+    assert calls["n"] == 1
+    assert store.is_complete("crashy")
+
+
+def test_lineage_report_orders_stages(tmp_path, spark, nodes):
+    store = SnapshotStore(str(tmp_path / "snap4"))
+    store.save(nodes.select("id"), "a")
+    store.save(nodes.select("lat"), "b", inputs=["stage:a"])
+    rep = store.lineage_report()
+    assert [m["stage"] for m in rep] == ["a", "b"]
+    assert rep[1]["inputs"] == ["stage:a"]
+    assert all("wall_s" in m and "snapshot_id" in m for m in rep)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("mode", ["windowed", "sessions", "dedup"])
+def test_streaming_matches_batch(spark, mode):
+    stream = ev.read_events_stream(spark, SF)
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    if mode == "windowed":
+        got = ev.run_to_memory(ev.windowed_counts(stream), "t_win",
+                               output_mode="append").collect()
+        exp = (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        # append mode emits only closed windows (watermark) — subset check
+        gotc = {(r["window_start"], r["event_type"]): r["cnt"] for r in got}
+        expc = {(r["w"]["start"], r["event_type"]): r["cnt"] for r in exp}
+        assert gotc
+        assert all(expc[k] == v for k, v in gotc.items())
+    elif mode == "sessions":
+        got = ev.run_to_memory(ev.sessionized(stream), "t_sess").collect()
+        assert got
+        assert all(r["n_events"] >= 1 for r in got)
+    else:
+        got = ev.run_to_memory(ev.deduped_stream(stream), "t_dedup").count()
+        assert got == batch.select("event_id").distinct().count()

@@ -1,0 +1,194 @@
+"""Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute force / IVF), text stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a slow green turtle walks under the busy bridge in the town",
+        "spark shuffles data between executors during wide transformations",
+        "columnar formats like parquet enable predicate pushdown and pruning",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4]
+        if i % 8 == 4:
+            t = t + " extra"          # near-dup of its base
+        rows.append((i, t))
+    rows.append((100, base[0]))        # exact dup of doc 0
+    rows.append((101, ""))             # empty doc edge case
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(texts):
+    kept = dedup.exact_dedup(texts)
+    n_unique = texts.select("text").distinct().count()
+    assert kept.count() == n_unique
+    r = {x["doc_id"]: x["n_copies"] for x in kept.collect()}
+    assert 0 in r and 100 not in r     # lowest id kept
+    assert r[0] >= 6                   # base[0] repeated
+
+
+def test_minhash_jaccard_estimates(texts, spark):
+    """MinHash signature similarity tracks true n-gram Jaccard."""
+    pairs = dedup.minhash_dedup_pairs(texts, threshold=0.5, num_perm=64,
+                                      bands=16)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact duplicates must always be found
+    assert (0, 100) in got
+    # docs from different bases must not appear
+    ex = dedup.ngram_jaccard_pairs(texts, F.lit(1), n=3)
+    truth = {(r["a"], r["b"]): r["inter_sz"] / max(r["union_sz"], 1)
+             for r in ex.collect()}
+    for (a, b) in got:
+        assert truth[(a, b)] > 0.3, (a, b, truth[(a, b)])
+
+
+def test_minhash_deterministic(texts):
+    s1 = {r["doc_id"]: list(r["sig"]) for r in
+          dedup.minhash_signatures(texts, 32).collect()}
+    s2 = {r["doc_id"]: list(r["sig"]) for r in
+          dedup.minhash_signatures(texts, 32).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[100]            # identical text -> identical sig
+
+
+def test_simhash_near_dups(texts):
+    pairs = dedup.simhash_near_dup_pairs(texts, max_hamming=6)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 100)] == 0          # identical docs, distance 0
+    # near-dup ('extra' suffix) should be close to its base
+    assert any(h <= 6 for (a, b), h in got.items() if a == 0 and b != 100)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): (r["inter_sz"], r["union_sz"])
+           for r in dedup.ngram_jaccard_pairs(df, F.lit(1), n=2).collect()}
+    # bigrams: {a b, b c, c d} vs {a b, b c, c e} -> inter 2, union 4
+    assert out[(1, 2)] == (2, 4)
+    assert out[(1, 3)] == (0, 6)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+
+
+def test_cosine_topk_bruteforce(embeddings, spark):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk_bruteforce(embeddings, queries, k=5)
+    rows = got.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # numpy oracle
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+    for qid, rlist in by_q.items():
+        qv = vecs[qid]
+        sims = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for vid, v in vecs.items()
+        }
+        exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_ids = [r["vec_id"] for r in sorted(rlist, key=lambda r: r["rank"])]
+        assert got_ids == [e[0] for e in exp]
+        assert rlist[0]["vec_id"] == qid  # self is its own nearest
+
+
+def test_ivf_recall(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(embeddings, n_centroids=8, iters=2)
+    assert cents.shape == (8, 64)
+    bf_s = {(r["query_id"], r["vec_id"]) for r in
+            similarity.cosine_topk_bruteforce(embeddings, queries, k=5).collect()}
+    # full probe == exhaustive: partition correctness of the bucketing
+    full = similarity.ivf_topk(embeddings, queries, k=5, centroids=cents,
+                               nprobe=8)
+    full_s = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert full_s == bf_s
+    # partial probe: recall degrades gracefully even on clusterless
+    # (isotropic gaussian) vectors — the worst case for IVF
+    part = similarity.ivf_topk(embeddings, queries, k=5, centroids=cents,
+                               nprobe=3)
+    part_s = {(r["query_id"], r["vec_id"]) for r in part.collect()}
+    assert len(part_s & bf_s) / len(bf_s) >= 0.5
+
+
+def test_embedding_near_dup_pairs(embeddings, spark):
+    # append a near-duplicate of vec 0 and check it is found
+    import pyspark.sql.functions as F2
+
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F2.lit(1.001)).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    aug = embeddings.select("vec_id", "embedding", "label").unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(aug, threshold=0.95, dim=64)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 99999) in got
+
+
+def test_text_stats(texts):
+    out = {r["doc_id"]: r for r in textstats.text_stats(texts).collect()}
+    assert out[0]["n_tokens"] == 13
+    assert out[0]["lang_id"] == "en"   # plenty of stopwords
+    assert out[101]["n_tokens"] == 0 and out[101]["quality"] == 0
+    assert out[101]["lang_id"] == "empty"
+    assert all(0 <= r["quality"] <= 100 for r in out.values())
+
+
+def test_fingerprint_stability(texts):
+    fp = textstats.fingerprint_udf(window=4)
+    a = {r["doc_id"]: r["fp"] for r in
+         texts.select("doc_id", fp(F.col("text")).alias("fp")).collect()}
+    assert a[0] == a[100]              # identical docs -> identical fp
+    assert a[0] != a[1]
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.media_table(docs).cache()
+    n = media.count()
+    assert n > 50
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == n
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same media_ref -> same features
+    f2 = {r["media_ref"]: list(r["features"])
+          for r in multimodal.extract_features(media).collect()}
+    for r in rows:
+        assert list(r["features"]) == f2[r["media_ref"]]
+    # resize stub annotates meta; frame sampling yields video rows only
+    resized = multimodal.resize_stub(media, 64, 64).collect()
+    assert all(r["meta"]["resized"] == "64x64" for r in resized)
+    frames = multimodal.frame_sample_stub(media, every_n=4)
+    vids = media.filter(F.col("media_type") == "video").count()
+    assert frames.select("media_ref").distinct().count() == vids
+
+
+def test_multimodal_decode_stub_raises(docs):
+    media = multimodal.media_table(docs)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)

@@ -1,0 +1,105 @@
+"""B5 kNN (k-ring == brute force), B6 tiles (pandas path == native path),
+B7 salting (salted == unsalted)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.operators import knn, salt, tiles
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    pts = [("q0", 1.29, 103.85), ("q1", 1.35, 103.69), ("q2", 1.44, 103.79),
+           ("q3", 1.20, 104.05), ("q4", 1.50, 103.62)]
+    return spark.createDataFrame(pts, "query_id string, lat double, lon double")
+
+
+def test_knn_kring_equals_bruteforce(nodes, queries):
+    pts = nodes.select("id", "lat", "lon")
+    bf = {(r["query_id"], r["rank"]): (r["point_id"], round(r["dist"], 6))
+          for r in knn.knn_bruteforce(pts, queries, k=10).collect()}
+    kr = {(r["query_id"], r["rank"]): (r["point_id"], round(r["dist"], 6))
+          for r in knn.knn_kring(pts, queries, k=10, res=8).collect()}
+    assert kr == bf
+    assert len(bf) == 50
+
+
+def test_knn_kring_sparse_region(spark, nodes, queries):
+    """Queries far from the data still converge (ring expansion path)."""
+    far = spark.createDataFrame(
+        [("far0", 1.70, 103.55)], "query_id string, lat double, lon double"
+    )
+    pts = nodes.select("id", "lat", "lon")
+    bf = {(r["query_id"], r["rank"]): r["point_id"]
+          for r in knn.knn_bruteforce(pts, far, k=5).collect()}
+    kr = {(r["query_id"], r["rank"]): r["point_id"]
+          for r in knn.knn_kring(pts, far, k=5, res=8).collect()}
+    assert kr == bf
+
+
+def test_knn_fewer_points_than_k(spark):
+    pts = spark.createDataFrame(
+        [("a", 1.29, 103.85), ("b", 1.30, 103.86)],
+        "id string, lat double, lon double",
+    )
+    q = spark.createDataFrame([("q", 1.29, 103.85)],
+                              "query_id string, lat double, lon double")
+    got = knn.knn_kring(pts, q, k=5, res=8).collect()
+    assert {r["point_id"] for r in got} == {"a", "b"}
+
+
+def test_tile_assignment_bounds(nodes):
+    t = tiles.with_tile(nodes.select("lat", "lon"), zoom=12)
+    mx = t.agg(F.max("tile_x"), F.min("tile_x"), F.max("tile_y"), F.min("tile_y")
+               ).collect()[0]
+    assert 0 <= mx[1] <= mx[0] < 4096
+    assert 0 <= mx[3] <= mx[2] < 4096
+
+
+def test_raster_pandas_equals_native(nodes):
+    pts = nodes.select("lat", "lon")
+    a = {(r["tile_x"], r["tile_y"]): list(r["raster"])
+         for r in tiles.render_density_tiles(pts, zoom=12, px=16).collect()}
+    b = {(r["tile_x"], r["tile_y"]): list(r["raster"])
+         for r in tiles.raster_from_counts(pts, zoom=12, px=16).collect()}
+    assert set(a) == set(b)
+    mismatches = sum(1 for k in a if a[k] != b[k])
+    assert mismatches == 0
+    # raster mass == point count per tile
+    counts = {(r["tile_x"], r["tile_y"]): r["cnt"]
+              for r in tiles.tile_counts(pts, zoom=12).collect()}
+    assert {k: sum(v) for k, v in a.items()} == counts
+
+
+def test_int_tile_counts(nodes):
+    pts = nodes.select(
+        ((F.col("lat") - 1.0) * 100000).cast("long").alias("lat_u"),
+        ((F.col("lon") - 103.0) * 100000).cast("long").alias("lon_u"),
+    )
+    t = tiles.int_tile_counts(pts, cell_deg_u=4000)
+    total = t.agg(F.sum("cnt")).collect()[0][0]
+    assert total == pts.count()
+
+
+def test_salted_join_equals_plain(nodes, spark):
+    from osmspark.functions import hexgrid
+
+    pts = hexgrid.with_hex_cell(nodes.select("id", "lat", "lon"), 7, out_col="cell")
+    dim = pts.groupBy("cell").agg(F.count("*").alias("dim_cnt"))
+    plain = pts.join(dim, "cell").select("id", "dim_cnt")
+    salted = salt.salted_join(pts, dim, "cell", nsalt=4, salt_from=["id"]
+                              ).select("id", "dim_cnt")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_group_count_equals_plain(nodes):
+    from osmspark.functions import hexgrid
+
+    pts = hexgrid.with_hex_cell(nodes.select("id", "lat", "lon"), 7, out_col="cell")
+    plain = {r["cell"]: r["cnt"] for r in
+             pts.groupBy("cell").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r["cell"]: r["cnt"] for r in
+              salt.salted_group_count(pts, "cell", nsalt=4).collect()}
+    assert plain == salted

@@ -1,0 +1,98 @@
+"""B4 two-phase PIP join vs a pure-Python ray-cast oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.operators import spatial_join as sj
+
+
+def _pip_py(py, px, ring):
+    """Independent scalar crossing-number implementation (the oracle)."""
+    inside = False
+    for (y1, x1), (y2, x2) in zip(ring, ring[1:]):
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def test_ranges_helper():
+    out = sj._ranges(np.array([3, 1, 0, 2]))
+    assert out.tolist() == [0, 1, 2, 0, 0, 1]
+    assert sj._ranges(np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_points_in_rings_np_vs_scalar():
+    rng = np.random.default_rng(7)
+    n = 500
+    py = rng.uniform(0, 10, n)
+    px = rng.uniform(0, 10, n)
+    rings = []
+    for i in range(n):
+        cx, cy = rng.uniform(2, 8, 2)
+        nv = rng.integers(3, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5, 3.0, nv)
+        ring = [(cy + r * np.sin(a), cx + r * np.cos(a)) for a, r in zip(ang, rad)]
+        ring.append(ring[0])
+        rings.append(ring)
+    got = sj.points_in_rings_np(
+        py, px,
+        [np.array([p[0] for p in r]) for r in rings],
+        [np.array([p[1] for p in r]) for r in rings],
+    )
+    exp = np.array([_pip_py(py[i], px[i], rings[i]) for i in range(n)])
+    assert (got == exp).all()
+    assert exp.any() and (~exp).any()  # both classes exercised
+
+
+def test_cover_cells_superset(polygons):
+    """Every vertex and interior sample of each polygon falls in a cover cell."""
+    from osmspark.functions import hexgrid
+
+    rows = polygons.collect()
+    for r in rows[:20]:
+        ring = [(p["lat"], p["lon"]) for p in r["ring"]]
+        lats = np.array([p[0] for p in ring])
+        lons = np.array([p[1] for p in ring])
+        cover = set(sj._ring_cover_cells(lats, lons, 7).tolist())
+        # interior samples: convex combinations of vertices
+        rng = np.random.default_rng(1)
+        w = rng.dirichlet(np.ones(len(ring)), 50)
+        slat = w @ lats
+        slon = w @ lons
+        cells = hexgrid.latlon_to_cell(slat, slon, 7)
+        assert set(cells.tolist()) <= cover
+
+
+@pytest.fixture(scope="module")
+def joined(nodes, polygons):
+    pts = nodes.select("id", "lat", "lon")
+    return sj.spatial_join(pts, polygons, res=7).cache()
+
+
+def test_spatial_join_vs_bruteforce(joined, nodes, polygons):
+    got = {(r["id"], r["poly_id"]) for r in joined.collect()}
+    pts = nodes.select("id", "lat", "lon").collect()
+    polys = polygons.collect()
+    exp = set()
+    for p in pts:
+        for pr in polys:
+            ring = [(v["lat"], v["lon"]) for v in pr["ring"]]
+            if _pip_py(p["lat"], p["lon"], ring):
+                exp.add((p["id"], pr["poly_id"]))
+    assert got == exp
+    assert len(exp) > 100  # non-trivial workload
+
+
+def test_spatial_join_no_rowwise_python(joined):
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the refine UDF, Arrow-batched
+
+
+def test_spatial_join_broadcasts_polygons(joined):
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
