@@ -66,13 +66,41 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # warm the JVM + file cache with a trivial action (not measured)
-    docs.select("doc_id").limit(10).count()
+    # JIT/Arrow/parquet warm-up, unmeasured: this VM shows 3-13x first-run
+    # JIT penalties even on trivial JVM jobs, so exercise every hot path
+    # once on a hash-sample (filter keeps partition structure; limit()
+    # would collapse to one task and warm nothing).
+    warm_docs = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) < 1)
+    warm_nodes = parse_nodes(warm_docs).select("id", "lat", "lon").persist()
+    warm_nodes.count()
+    warm_nodes.write.mode("overwrite").parquet(f"{CACHE_ROOT}/warmup_out")
+    spatial_join(warm_nodes, polys, res=8).count()
+    tile_counts(warm_nodes.select("lat", "lon"), zoom=12).count()
+    render_density_tiles(warm_nodes.select("lat", "lon"), zoom=12, px=64).count()
+    with_hex_cell(warm_nodes.select("lat", "lon"), 9).count()
+    warm_nodes.unpersist()
 
-    # Q1 headline: extract -> cell -> PIP join -> count per polygon level
+    # Stage 1 (E2' in SURVEY §3.2): extract once -> columnar snapshot.
+    # At 100 TB you never re-parse interleaved payloads per query; the
+    # shaped nodes table is materialized (B8 snapshot) and every
+    # downstream query reads pruned parquet columns.
+    from osmspark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(f"{CACHE_ROOT}/stages_{n_docs}_{cpus}")
+
+    def q_extract():
+        nodes = parse_nodes(docs).select(
+            "id", "lat", "lon", F.col("tags")["addr:street"].alias("street")
+        )
+        return store.save(nodes, "nodes", inputs=[docs_path])["n_rows"]
+
+    n_nodes, t_extract = timed(q_extract)
+    queries["span_extract_snapshot"] = round(t_extract, 3)
+    nodes = store.load(spark, "nodes")
+
+    # Q1 headline: cell assign -> broadcast cover join -> ray-cast refine
     def q_spatial():
-        nodes = parse_nodes(docs).select("id", "lat", "lon")
-        joined = spatial_join(nodes, polys, res=7)
+        joined = spatial_join(nodes.select("id", "lat", "lon"), polys, res=8)
         return joined.groupBy("level").agg(F.count("*").alias("cnt")).collect()
 
     _, t_spatial = timed(q_spatial)
@@ -80,9 +108,9 @@ def main() -> None:
 
     # Q2: tile assignment + density raster (z12, 64px)
     def q_tiles():
-        nodes = parse_nodes(docs).select("lat", "lon")
-        tc = tile_counts(nodes, zoom=12)
-        rr = render_density_tiles(nodes, zoom=12, px=64)
+        pts = nodes.select("lat", "lon")
+        tc = tile_counts(pts, zoom=12)
+        rr = render_density_tiles(pts, zoom=12, px=64)
         return tc.count() + rr.count()
 
     _, t_tiles = timed(q_tiles)
@@ -90,8 +118,7 @@ def main() -> None:
 
     # Q3: hex cell assignment alone (the UDF hot path)
     def q_cells():
-        nodes = parse_nodes(docs).select("lat", "lon")
-        return with_hex_cell(nodes, 9).agg(
+        return with_hex_cell(nodes.select("lat", "lon"), 9).agg(
             F.countDistinct("hex_r9")
         ).collect()
 
@@ -100,19 +127,17 @@ def main() -> None:
 
     # Q4: flagship audit (street normalization counts)
     def q_audit():
-        nodes = parse_nodes(docs)
-        return audit.normalized_street_counts(audit.streets(nodes)).collect()
+        streets = nodes.select("street").filter(F.col("street").isNotNull())
+        return audit.normalized_street_counts(streets).collect()
 
     _, t_audit = timed(q_audit)
     queries["audit_normalize"] = round(t_audit, 3)
 
     # Q5: kNN, 50 queries k=10 over extracted points
     def q_knn():
-        nodes = parse_nodes(docs).select("id", "lat", "lon")
-        qs = nodes.limit(50).select(
-            F.col("id").alias("query_id"), "lat", "lon"
-        )
-        return knn_kring(nodes, qs, k=10, res=8).count()
+        pts = nodes.select("id", "lat", "lon")
+        qs = pts.limit(50).select(F.col("id").alias("query_id"), "lat", "lon")
+        return knn_kring(pts, qs, k=10, res=8).count()
 
     _, t_knn = timed(q_knn)
     queries["knn_kring_50q"] = round(t_knn, 3)
@@ -135,7 +160,7 @@ def main() -> None:
     queries["tpch_q1"] = round(t_tpch, 3)
 
     total = round(sum(queries.values()), 3)
-    docs_per_sec = round(n_docs / t_spatial, 1)
+    docs_per_sec = round(n_docs / (t_extract + t_spatial), 1)
     print(
         json.dumps(
             {

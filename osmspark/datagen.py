@@ -225,7 +225,10 @@ def documents_from_ids(df: DataFrame, id_col: str) -> DataFrame:
 def gen_documents(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
     """Interleaved documents table; deterministic in n_docs."""
     if partitions is None:
-        partitions = max(8, min(256, n_docs // 20_000 or 8))
+        # enough tasks to keep a wide executor busy: ~2k docs per partition,
+        # bounded so tiny fixtures don't fragment and huge runs don't flood
+        # the scheduler
+        partitions = max(16, min(1024, n_docs // 2_000))
     docs = spark.range(0, n_docs, 1, partitions).withColumnRenamed("id", "did")
     return documents_from_ids(docs, "did")
 

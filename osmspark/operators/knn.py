@@ -115,6 +115,8 @@ def knn_kring(
         F.col("lon").alias("plon"),
     )
     p = p.withColumn("pcell", hexgrid.hex_cell_udf(res)(F.col("plat"), F.col("plon")))
+    # cell assignment is reused every expansion round — materialize it once
+    p = p.persist()
 
     active = np.ones(len(qid), dtype=bool)
     results = []  # per finished query: list of Rows
@@ -184,6 +186,7 @@ def knn_kring(
         ).collect()
         results.extend(bf)
 
+    p.unpersist()
     return spark.createDataFrame(
         results, schema="query_id string, rank int, point_id string, dist double"
     )

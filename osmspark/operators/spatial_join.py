@@ -1,21 +1,26 @@
 """B4 — two-phase point-in-polygon spatial join (SURVEY §2.2).
 
-Phase 1 (prefilter): polygons are pre-exploded to their covering hex cells
-at a coarse res; points get the same cell id; the candidate set is a plain
-*equi-join on cell* — broadcast when the polygon side is small (admin/ZIP
-dims always are), shuffle-hash otherwise.  Catalyst sees an ordinary join;
-no custom strategy needed (SURVEY §4.2).
+Phase 1 (prefilter): polygons are pre-exploded to their covering hex cells;
+points get the same cell id; the candidate set is a plain *equi-join on
+cell* — broadcast (admin/ZIP dims are small by contract).  Catalyst sees an
+ordinary join; no custom strategy needed (SURVEY §4.2).
 
 Phase 2 (refine): exact ray-casting (crossing-number) point-in-ring test,
-numpy-vectorized over Arrow batches — all edges of a batch are flattened
-into one array pass, crossings aggregated per row with bincount.  No
-per-row Python.
+numpy-vectorized over Arrow batches.  Ring geometry reaches executors ONCE
+via a Spark broadcast variable keyed by poly_id — candidate rows carry only
+(lat, lon, poly_id), so Arrow transfer stays O(candidates), not
+O(candidates * ring_size).
 
-Scale notes: the cover res trades candidate-set size vs join fan-out; skew
-from hot cities is handled by AQE skew-join plus optional explicit salting
-(operators.salt).  Cover enumeration is conservative (axial bbox of the
-ring's xy bbox + margin) — false positives are removed by phase 2, false
-negatives cannot occur for single-face polygons.
+Cover computation runs driver-side in numpy: the polygon side is a
+broadcastable dimension by contract (if it weren't, covers would move into
+a pandas UDF — same math).  The cover is near-minimal: bbox cells filtered
+to centers inside the ring or within ~1.1 circumradius of an edge — a
+guaranteed superset of cells that can contain an interior point, so phase 2
+sees no false negatives and few false positives.
+
+Scale notes: the cover res trades candidate fan-out vs join width (default
+res 8 ~ 1 km cells); hot-city skew on the cell key is handled by AQE
+skew-join plus optional explicit salting (operators.salt).
 """
 
 from __future__ import annotations
@@ -30,17 +35,31 @@ from ..functions import hexgrid
 from ..functions.geo import latlon_to_xyz
 from ..functions.s2 import xyz_to_face_uv
 
-DEFAULT_COVER_RES = 7
+DEFAULT_COVER_RES = 8
+
+
+# --- geometry helpers (numpy, driver-side for the dim, reusable anywhere) --
+def _point_segment_dist2(px, py, x1, y1, x2, y2):
+    """Squared distance from points (px,py) to segments; all (n,m) arrays."""
+    dx, dy = x2 - x1, y2 - y1
+    seg2 = dx * dx + dy * dy
+    tnum = (px - x1) * dx + (py - y1) * dy
+    t = np.clip(np.divide(tnum, seg2, out=np.zeros_like(tnum),
+                          where=seg2 > 0), 0.0, 1.0)
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
 
 
 def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarray:
-    """Cover cells for one ring: axial bbox of the xy-bbox corners + margin."""
+    """Near-minimal cover: bbox cells whose center is inside the ring or
+    within 1.1*circumradius of an edge (superset guarantee: any point of the
+    polygon lies in a cell whose center is <= circumradius away)."""
     x, y, z = latlon_to_xyz(lats, lons)
     face, u, v = xyz_to_face_uv(x, y, z)
     if len(np.unique(face)) != 1:
         raise ValueError("polygon spans multiple cube faces (v1 limitation)")
     f = int(face[0])
-    # xy bbox corners -> axial coords -> integer bbox with margin
     corners_u = np.array([u.min(), u.min(), u.max(), u.max()])
     corners_v = np.array([v.min(), v.max(), v.min(), v.max()])
     qf, rf = hexgrid._xy_to_axial(corners_u, corners_v, res)
@@ -48,22 +67,31 @@ def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarra
     r0, r1 = int(np.floor(rf.min())) - 1, int(np.ceil(rf.max())) + 1
     qq, rr = np.meshgrid(np.arange(q0, q1 + 1), np.arange(r0, r1 + 1))
     qq, rr = qq.ravel(), rr.ravel()
+    cx, cy = hexgrid._axial_to_xy(qq.astype(np.float64), rr.astype(np.float64), res)
+    radius = hexgrid._res_frame(res)[0]
+    # center-in-ring (in uv plane) ...
+    inside = points_in_rings_np(
+        cy, cx, [v] * len(cx), [u] * len(cx)
+    )  # note: "lat" axis := v, "lon" axis := u (any consistent pair works)
+    # ... or center near an edge
+    d2 = _point_segment_dist2(
+        cx[:, None], cy[:, None],
+        u[None, :-1], v[None, :-1], u[None, 1:], v[None, 1:],
+    ).min(axis=1)
+    keep = inside | (d2 <= (1.1 * radius) ** 2)
+    qq, rr = qq[keep], rr[keep]
     return hexgrid.pack(np.full_like(qq, res), np.full_like(qq, f), qq, rr)
 
 
-def cover_cells_udf(res: int):
-    """pandas UDF: ring array<struct<lat,lon>> -> array<long> cover cells."""
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cover(rings: pd.Series) -> pd.Series:
-        out = []
-        for ring in rings:
-            lats = np.array([p["lat"] for p in ring], dtype=np.float64)
-            lons = np.array([p["lon"] for p in ring], dtype=np.float64)
-            out.append(_ring_cover_cells(lats, lons, res))
-        return pd.Series(out)
-
-    return cover
+def polygon_covers(polys_rows: list, res: int) -> list[tuple]:
+    """[(poly_id, cell), ...] computed driver-side from collected rows."""
+    out = []
+    for r in polys_rows:
+        lats = np.array([p["lat"] for p in r["ring"]], dtype=np.float64)
+        lons = np.array([p["lon"] for p in r["ring"]], dtype=np.float64)
+        for c in _ring_cover_cells(lats, lons, res):
+            out.append((r["poly_id"], int(c)))
+    return out
 
 
 def points_in_rings_np(py, px, ring_lats, ring_lons):
@@ -72,6 +100,8 @@ def points_in_rings_np(py, px, ring_lats, ring_lons):
     py/px: float arrays (n,); ring_lats/ring_lons: lists of per-row arrays.
     Returns bool array (n,). One flat pass over all edges of the batch.
     """
+    py = np.asarray(py, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
     n = len(py)
     if n == 0:
         return np.zeros(0, dtype=bool)
@@ -81,7 +111,6 @@ def points_in_rings_np(py, px, ring_lats, ring_lons):
     flat_lat = np.concatenate([np.asarray(r, dtype=np.float64) for r in ring_lats])
     flat_lon = np.concatenate([np.asarray(r, dtype=np.float64) for r in ring_lons])
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    # edge endpoint indices within the flat arrays
     first = np.repeat(starts, edge_counts) + _ranges(edge_counts)
     y1, y2 = flat_lat[first], flat_lat[first + 1]
     x1, x2 = flat_lon[first], flat_lon[first + 1]
@@ -103,32 +132,37 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
 
 
-_pip_udf_schema = T.BooleanType()
+def _grouped_pip(py, px, poly_ids, rings_by_id):
+    """Batch refine: group candidate rows by poly_id, one vectorized
+    crossing-number pass per distinct polygon in the batch.
+
+    poly ids are factorized to integer codes first — object-string equality
+    scans over millions of candidates were the hot spot before."""
+    py = np.asarray(py, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
+    out = np.zeros(len(py), dtype=bool)
+    codes, uniques = pd.factorize(poly_ids)
+    order = np.argsort(codes, kind="stable")
+    bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+    for k, pid in enumerate(uniques):
+        idx = order[bounds[k]:bounds[k + 1]]
+        if len(idx) == 0:
+            continue
+        rl, rlon = rings_by_id[pid]
+        out[idx] = _pip_single_ring(py[idx], px[idx], rl, rlon)
+    return out
 
 
-@F.pandas_udf(_pip_udf_schema)
-def _pip_udf(
-    lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
-) -> pd.Series:
-    inside = points_in_rings_np(
-        lat.to_numpy(), lon.to_numpy(), list(ring_lat), list(ring_lon)
-    )
-    return pd.Series(inside)
-
-
-def prepare_polygons(polys: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
-    """polygons -> one row per (cover cell, polygon) with flat ring arrays.
-
-    Flat ring_lat/ring_lon arrays (instead of array<struct>) keep the Arrow
-    transfer into the refine UDF zero-copy-friendly."""
-    return polys.select(
-        "poly_id",
-        "level",
-        "postcode",
-        F.transform("ring", lambda p: p["lat"]).alias("ring_lat"),
-        F.transform("ring", lambda p: p["lon"]).alias("ring_lon"),
-        F.explode(cover_cells_udf(res)(F.col("ring"))).alias("cell"),
-    )
+def _pip_single_ring(py, px, ring_lat, ring_lon):
+    """All points vs ONE ring: (n, edges) matrix crossing test."""
+    y1, y2 = ring_lat[None, :-1], ring_lat[None, 1:]
+    x1, x2 = ring_lon[None, :-1], ring_lon[None, 1:]
+    pyr, pxr = py[:, None], px[:, None]
+    straddle = (y1 > pyr) != (y2 > pyr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (pyr - y1) * (x2 - x1) / (y2 - y1)
+    cross = straddle & (pxr < xint)
+    return (cross.sum(axis=1) % 2) == 1
 
 
 def spatial_join(
@@ -139,18 +173,69 @@ def spatial_join(
     lat: str = "lat",
     lon: str = "lon",
 ) -> DataFrame:
-    """points x polygons -> rows of points with their containing polygon.
+    """points x polygons -> point rows + (poly_id, level, postcode).
 
-    Returns the point columns + (poly_id, level, postcode). A point on a
-    shared boundary resolves by crossing-number convention; a point in no
-    polygon is dropped (inner-join semantics, like the reference assigning
-    a document to its district)."""
-    poly_cells = prepare_polygons(polys, res)
-    if broadcast_polys:
-        poly_cells = F.broadcast(poly_cells)
-    pts = hexgrid.with_hex_cell(points, res, lat=lat, lon=lon, out_col="__cell")
-    cand = pts.join(poly_cells, pts["__cell"] == poly_cells["cell"], "inner")
-    refined = cand.filter(
-        _pip_udf(F.col(lat), F.col(lon), F.col("ring_lat"), F.col("ring_lon"))
+    Inner-join semantics (a point outside every polygon is dropped);
+    boundary points resolve by crossing-number convention."""
+    spark = points.sparkSession
+    prows = polys.select("poly_id", "level", "postcode", "ring").collect()
+    covers = polygon_covers(prows, res)
+    rings_by_id = {
+        r["poly_id"]: (
+            np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
+            np.array([p["lon"] for p in r["ring"]], dtype=np.float64),
+        )
+        for r in prows
+    }
+    attrs = [(r["poly_id"], r["level"], r["postcode"]) for r in prows]
+    bc = spark.sparkContext.broadcast(rings_by_id)
+
+    cover_df = spark.createDataFrame(covers, "poly_id string, cell long")
+    attrs_df = spark.createDataFrame(
+        attrs, "poly_id string, level string, postcode string"
     )
-    return refined.drop("__cell", "cell", "ring_lat", "ring_lon")
+    if broadcast_polys:
+        cover_df = F.broadcast(cover_df)
+        attrs_df = F.broadcast(attrs_df)
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series) -> pd.Series:
+        return pd.Series(
+            _grouped_pip(plat.to_numpy(), plon.to_numpy(), pid.to_numpy(),
+                         bc.value)
+        )
+
+    pts = hexgrid.with_hex_cell(points, res, lat=lat, lon=lon, out_col="__cell")
+    cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner")
+    refined = cand.filter(refine(F.col(lat), F.col(lon), F.col("poly_id")))
+    return refined.drop("__cell", "cell").join(attrs_df, "poly_id")
+
+
+# --- compatibility surface for tests / other callers -----------------------
+def cover_cells_udf(res: int):
+    """pandas UDF form of the cover (used when the polygon side is too large
+    to collect — same math as the driver-side path)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover(rings: pd.Series) -> pd.Series:
+        out = []
+        for ring in rings:
+            lats = np.array([p["lat"] for p in ring], dtype=np.float64)
+            lons = np.array([p["lon"] for p in ring], dtype=np.float64)
+            out.append(_ring_cover_cells(lats, lons, res))
+        return pd.Series(out)
+
+    return cover
+
+
+def prepare_polygons(polys: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
+    """polygons -> one row per (cover cell, polygon) with flat ring arrays
+    (distributed-cover variant for very large polygon sets)."""
+    return polys.select(
+        "poly_id",
+        "level",
+        "postcode",
+        F.transform("ring", lambda p: p["lat"]).alias("ring_lat"),
+        F.transform("ring", lambda p: p["lon"]).alias("ring_lon"),
+        F.explode(cover_cells_udf(res)(F.col("ring"))).alias("cell"),
+    )
