@@ -572,6 +572,38 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: explicit two-stage salted group-count over the skewed derived
+    kind key; must equal a plain GROUP BY (the oracle)."""
+    from osmspark.operators.salt import salted_group_count
+
+    d = _derived_df(spark, sf_dir).select("d", "kind")
+    return salted_group_count(d, "kind", nsalt=8, salt_from=["d"])
+
+
+_SALTED_ORACLE = _DERIVED_SQL + """
+    SELECT kind, count(*) AS cnt FROM derived GROUP BY kind"""
+
+
+def _q_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs -> connected-component keep list."""
+    from osmspark.operators.dedup import dedup_keep_list, minhash_dedup_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, num_perm=64, bands=16)
+    return dedup_keep_list(pairs, docs)
+
+
+def _q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 engine op (hash-mod systematic sample; xxhash64 has no DuckDB
+    twin -> rows-only)."""
+    from osmspark.sources import systematic_sample
+
+    _register(spark, sf_dir, ["documents"])
+    return systematic_sample(spark.table("documents"), k=10).select("doc_id")
+
+
 def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence invariant sweep (input_hint [D]) over spansified docs:
     returns one row with the violation count (must be 0)."""
@@ -621,7 +653,10 @@ _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "ann_cosine_topk": _q_ann_cosine,
     "span_invariant": _q_span_invariant,
+    "salted_group_counts": _q_salted_group,
     # rows-only (non-SQL-expressible; correctness gated in tests/)
+    "minhash_keep_list": _q_minhash_keep,
+    "systematic_sample_hash": _q_systematic_sample,
     "hex_cell_counts": _q_hex_cells,
     "s2_cell_counts": _q_s2_cells,
     "minhash_near_dups": _q_minhash,
@@ -644,6 +679,7 @@ _ENGINE_ORACLES: dict[str, str] = {
     "text_stats": _TEXT_STATS_ORACLE,
     "ann_cosine_topk": _ANN_ORACLE,
     "span_invariant": _SPAN_INVARIANT_ORACLE,
+    "salted_group_counts": _SALTED_ORACLE,
 }
 
 

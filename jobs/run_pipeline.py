@@ -100,6 +100,24 @@ def main() -> None:
         inputs=["stage:extract"],
     )
 
+    # cleaned output (A11 update_name + A12 repair + A16 JSON-lines sink):
+    # the reference's data.py end product, as a resumable distributed stage
+    def build_cleaned():
+        streets_full = nodes.filter(F.col("street").isNotNull())
+        cleaned = (
+            audit.normalize_streets(streets_full)
+            .withColumn("postcode", audit.repair_postcode("postcode"))
+            .select("id", "lat", "lon", "user", "uid",
+                    F.col("normalized_street").alias("street"), "postcode")
+        )
+        return cleaned
+
+    cleaned = store.run_stage(spark, "cleaned_nodes", build_cleaned,
+                              inputs=["stage:extract"])
+    from osmspark.operators.shape import write_json_lines
+
+    write_json_lines(cleaned, f"{args.out}/cleaned_nodes_json")
+
     streets = nodes.select(F.col("street")).filter(F.col("street").isNotNull())
     store.run_stage(spark, "audit_street_norm",
                     lambda: audit.normalized_street_counts(streets),

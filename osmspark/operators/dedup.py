@@ -90,36 +90,48 @@ def minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
-    """pandas UDF: text -> array<long> MinHash signature (universal hashing
-    h_i(x) = (a_i*x + b_i) mod p over shingle FNV hashes, vectorized)."""
+def minhash_sig_col(num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
+                    text_col: str = "text"):
+    """MinHash signature as a PURE NATIVE column expression — zero Python.
+
+    Shingles hash via xxhash64 (JVM), reduced to [0, 2^31) so the universal
+    hashes a_i*x + b_i stay < 2^62 (Spark 4 runs ANSI mode: int64 overflow
+    is an error, so arithmetic must be provably bounded).  Signature =
+    array over i of min_x (a_i*x + b_i) mod p — num_perm array traversals,
+    all inside codegen.  Empty docs get the max-sentinel signature."""
     a, b = minhash_params(num_perm, seed)
-    p = np.uint64(_MERSENNE)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def minhash(text: pd.Series) -> pd.Series:
-        out = []
-        empty = np.full(num_perm, np.int64(_MERSENNE - 1))
-        for t in text:
-            toks = (t or "").lower().split()
-            sh = [" ".join(toks[i:i + shingle_n])
-                  for i in range(max(len(toks) - shingle_n + 1, 0))]
-            if not sh:
-                out.append(empty)
-                continue
-            x = _hash_tokens_to_u64(list(set(sh)))  # (s,)
-            # (num_perm, s) universal hashes -> min over shingles
-            hv = (a[:, None] * x[None, :] + b[:, None]) % p
-            out.append(hv.min(axis=1).astype(np.int64))
-        return pd.Series(out)
-
-    return minhash
+    a31 = [int(x) % (1 << 31) or 1 for x in a]
+    b31 = [int(x) % (1 << 31) for x in b]
+    p = 2_147_483_647  # 2^31 - 1 (Mersenne); a*x+b < 2^62 -> no overflow
+    shingle_hashes = F.transform(
+        F.array_distinct(shingles_col(shingle_n, text_col)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
+    )
+    A = F.array(*[F.lit(x).cast("long") for x in a31])
+    B = F.array(*[F.lit(x).cast("long") for x in b31])
+    init = F.array_repeat(F.lit(p - 1).cast("long"), num_perm)
+    # one traversal over the shingles; per element, fold all num_perm mins
+    # (indexed transform) — the shingle array is referenced exactly once,
+    # so plan collapse can't duplicate its computation
+    return F.aggregate(
+        shingle_hashes,
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v,
+                F.pmod(F.element_at(A, i + 1) * x + F.element_at(B, i + 1),
+                       F.lit(p)),
+            ),
+        ),
+    )
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 64, shingle_n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return docs.select(
-        F.col(id_col), minhash_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig")
+        F.col(id_col),
+        minhash_sig_col(num_perm, shingle_n, text_col=text_col).alias("sig"),
     )
 
 
@@ -254,6 +266,59 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 # --- exact n-gram Jaccard (verification metric / oracle-friendly) ----------
+
+
+def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
+                    id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs -> (doc_id, keeper): connected components by iterative
+    min-label propagation (each round: everyone adopts the smallest label in
+    their neighborhood; converges in O(component diameter) rounds — near-dup
+    clusters are shallow in practice).  Keeper = min id per component; docs
+    in no pair keep themselves.  Distributed: each round is one
+    groupBy-min + join, with localCheckpoint to cut the lineage."""
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select(F.col(id_col))
+        .join(labels, docs[id_col] == labels["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("keeper"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

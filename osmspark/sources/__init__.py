@@ -6,3 +6,4 @@ from .spans import (  # noqa: F401
     parse_ways,
     span_sequence_violations,
 )
+from .osm_xml import osm_xml_to_documents, systematic_sample  # noqa: F401
