@@ -7,10 +7,10 @@ web-scale generalization mandated alongside SURVEY §2.2.
 Scale design:
   * exact: hash-groupBy — one shuffle on a 64/128-bit digest, never on the
     raw text.
-  * MinHash+LSH: signatures via one Arrow pandas UDF (numpy universal
-    hashing over token shingles); banding -> explode(bands) -> groupBy
-    (band_id, band_hash) -> candidate pairs only within buckets.  The
-    pairwise O(n^2) step exists only inside an LSH bucket.
+  * MinHash+LSH: signatures as ONE native aggregate expression (xxhash64
+    shingles, indexed-transform min fold — zero Python, stays in codegen);
+    banding -> groupBy (band_id, band_hash) -> candidate pairs only within
+    buckets.  The pairwise O(n^2) step exists only inside an LSH bucket.
   * SimHash: 64-bit fingerprint; near-dup = hamming distance <= t, banded
     into 4x16-bit blocks for candidate generation.
   * n-gram Jaccard: exact verification metric for candidate pairs (native

@@ -1,0 +1,84 @@
+"""M6 — cell-bucketed storage layout (SURVEY §7.1, §4.2 partition pruning).
+
+At 100 TB the shaped-nodes table is written partitioned by a bounded
+`cell_bucket` column (pmod of the coarse hex cell) so that:
+  * spatial queries touching a cell neighborhood scan only the buckets the
+    cells hash into (directory-level partition pruning — `PartitionFilters`
+    in the plan, zero I/O for the rest);
+  * bucket count is bounded (default 64) regardless of how many distinct
+    cells exist, so small-file explosion can't happen;
+  * co-located self-joins on cell_bucket avoid a shuffle side.
+
+This is the parquet stand-in for Iceberg `bucket(N, cell)` partition
+transforms (no Iceberg jar in-sandbox — SURVEY §7.0); the API is the same
+shape so a real catalog can slot in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hexgrid import latlon_to_cell, with_hex_cell
+
+DEFAULT_BUCKETS = 64
+
+
+def bucket_of(cell_col, n_buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.col(cell_col) if isinstance(cell_col, str) else cell_col,
+                  F.lit(n_buckets)).cast("int")
+
+
+def write_cell_bucketed(
+    nodes: DataFrame,
+    path: str,
+    res: int = 7,
+    n_buckets: int = DEFAULT_BUCKETS,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> None:
+    """Write nodes partitioned by cell_bucket (carries the cell column)."""
+    df = with_hex_cell(nodes, res, lat=lat, lon=lon, out_col="cell")
+    df = df.withColumn("cell_bucket", bucket_of("cell", n_buckets))
+    (
+        df.repartition("cell_bucket")  # one writer set per bucket dir
+        .write.mode("overwrite")
+        .partitionBy("cell_bucket")
+        .parquet(path)
+    )
+
+
+def read_cells(
+    spark: SparkSession,
+    path: str,
+    cells,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Read only the rows for `cells` (iterable of cell ids): the bucket
+    filter prunes partition directories (check PartitionFilters in the
+    plan); the exact cell filter then prunes row groups via parquet stats."""
+    cells = [int(c) for c in cells]
+    buckets = sorted({c % n_buckets for c in cells})
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("cell_bucket").isin(buckets) & F.col("cell").isin(cells)
+    )
+
+
+def read_neighborhood(
+    spark: SparkSession,
+    path: str,
+    lat: float,
+    lon: float,
+    res: int = 7,
+    ring: int = 1,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Convenience: all rows in the k-ring around a point, bucket-pruned."""
+    import numpy as np
+
+    from ..functions.hexgrid import kring
+
+    center = latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    cells = kring(center, ring)[0].tolist()
+    return read_cells(spark, path, cells, n_buckets)

@@ -40,9 +40,15 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("OSMSPARK_DRIVER_MEM", "48g"))
+        # NOT the full machine: oversized heaps on this VM stall 5-10x under
+        # multi-threaded allocation storms (lazy page-commit zeroing); 8g
+        # covers every local working set and keeps first-touch cost bounded
+        .config("spark.driver.memory", os.environ.get("OSMSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 16 MB splits: local test inputs are sub-GB, and 128 MB splits
+        # would leave most cores idle on the scan+parse stage (on a real
+        # cluster with TB inputs, raise this back toward 128-256 MB)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

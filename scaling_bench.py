@@ -64,8 +64,14 @@ def _cpu_sample() -> tuple[int, int]:
 def run_at(cores: int, docs_path: str, n_docs: int) -> dict:
     script = CHILD.format(repo=REPO)
     t0, s0 = _cpu_sample()
+    # taskset hard-caps the WHOLE process tree (JVM task threads + python
+    # UDF workers + GC) to exactly `cores` CPUs — local[N] alone lets
+    # pandas-UDF worker processes burn CPU outside the N task threads,
+    # which inflates the small-N baseline and understates scaling.
+    cpu_list = ",".join(str(i) for i in range(cores))
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), docs_path, str(n_docs)],
+        ["taskset", "-c", cpu_list, sys.executable, "-c", script,
+         str(cores), docs_path, str(n_docs)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     t1, s1 = _cpu_sample()
