@@ -27,6 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osmspark.config import SQL_PROBLEMCHARS
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -58,6 +60,9 @@ _AMENITIES = ["restaurant", "cafe", "school", "bank", "atm", "parking",
 
 _KEYS = ["amenity", "addr:street", "addr:postcode", "name", "highway",
          "bad key", "FIXME", "addr:street:name", "name.zh", "shop"]
+
+_CUISINES = ["chinese", "malay", "indian", "japanese", "korean", "thai",
+             "italian", "seafood"]
 
 _EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
@@ -112,7 +117,9 @@ WITH base AS (
          1.13 + lat_u * 1e-5 AS lat,
          103.6 + lon_u * 1e-5 AS lon,
          CASE WHEN kind = 'node' AND (h1 % 10) < 6 THEN street_raw END AS street,
-         CASE WHEN kind = 'node' AND (h1 % 10) < 6 THEN pc_raw END AS pc
+         CASE WHEN kind = 'node' AND (h1 % 10) < 6 THEN pc_raw END AS pc,
+         CASE WHEN amenity IN ('restaurant', 'cafe')
+              THEN {_case_pick('h2 + 5', _CUISINES)} END AS cuisine
   FROM attrs
 )
 """
@@ -141,10 +148,13 @@ _PC_CLASS_SQL = (
     "ELSE 'invalid' END"
 )
 
+# problemchars class comes from the ONE shared constant (config.py), so the
+# engine operator (audit.key_class), the pytest oracle (tests/oracle.py) and
+# this shared SQL agree byte-for-byte on the reference tags.py semantics.
 _KEYCLASS_SQL = (
     "CASE WHEN regexp_extract(tag_key, '^([a-z]|_)+$', 0) <> '' THEN 'lower' "
     "WHEN regexp_extract(tag_key, '^([a-z]|_)+:([a-z]|_)+$', 0) <> '' THEN 'lower_colon' "
-    "WHEN regexp_extract(tag_key, '[=+/&<>;?%#$@,. ]', 0) <> '' THEN 'problemchars' "
+    f"WHEN regexp_extract(tag_key, '{SQL_PROBLEMCHARS}', 0) <> '' THEN 'problemchars' "
     "ELSE 'other' END"
 )
 
@@ -201,6 +211,12 @@ _SHARED_SQL: dict[str, str] = {
         SELECT amenity, count(*) AS cnt FROM derived
         WHERE amenity IS NOT NULL
         GROUP BY amenity ORDER BY cnt DESC, amenity ASC LIMIT 10""",
+    # A20b: composed two-tag query — "cuisines of restaurants" notebook
+    # aggregation ($match amenity=restaurant -> $group cuisine [R])
+    "cuisines_of_restaurants": _DERIVED_SQL + """
+        SELECT cuisine, count(*) AS cnt FROM derived
+        WHERE amenity = 'restaurant' AND cuisine IS NOT NULL
+        GROUP BY cuisine ORDER BY cnt DESC, cuisine ASC""",
     # A2: systematic sampling (every k-th document)
     "sample_every_k": """
         SELECT count(*) AS n_sampled, min(doc_id) AS first_id,
@@ -411,7 +427,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang,
-             string_split(lower(trim(text)), ' ') AS toks
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE doc_id < 200
     ), s AS (
       SELECT doc_id, lang,
@@ -547,9 +563,18 @@ def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-raster render via applyInPandas; the raster array is projected
+    to a '/'-joined string so the driver canonicalizer can hash/sort it
+    (round-1 err: pandas sort_values dies on array<long> cells)."""
     from osmspark.operators.tiles import render_density_tiles
 
-    return render_density_tiles(_points_df(spark, sf_dir), zoom=12, px=16)
+    r = render_density_tiles(_points_df(spark, sf_dir), zoom=12, px=16)
+    return r.select(
+        "zoom", "tile_x", "tile_y",
+        F.concat_ws(
+            "/", F.transform("raster", lambda x: x.cast("string"))
+        ).alias("raster_csv"),
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,9 +666,82 @@ def _q_postcode_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_class_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 through the ENGINE operator (audit.key_class / config regexes) —
+    closes the round-1 oracle blind spot where key_class_counts ran the same
+    SQL on both sides and never exercised the operator."""
+    from osmspark.operators import audit
+
+    d = _derived_df(spark, sf_dir)
+    return (
+        d.select(audit.key_class("tag_key").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_shape_tags_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/A14 through the ENGINE shaping helpers: build a 1-entry tags map
+    per derived row, run shape's problemchars-drop + addr-split + prefix
+    strip, and project (bucket, out_key, cnt) — SQL reproduces the same
+    key-routing rules independently."""
+    from osmspark.operators.shape import _address, _clean_tags, _other_tags
+
+    d = _derived_df(spark, sf_dir)
+    tags = F.map_from_arrays(F.array(F.col("tag_key")), F.array(F.col("usr")))
+    shaped = d.select(
+        _address(_clean_tags(tags)).alias("address"),
+        _other_tags(tags).alias("tags"),
+    )
+    addr = shaped.select(
+        F.lit("address").alias("bucket"),
+        F.explode(F.map_keys("address")).alias("out_key"),
+    )
+    oth = shaped.select(
+        F.lit("tags").alias("bucket"),
+        F.explode(F.map_keys("tags")).alias("out_key"),
+    )
+    return (
+        addr.unionByName(oth)
+        .groupBy("bucket", "out_key").agg(F.count("*").alias("cnt"))
+    )
+
+
+_SHAPE_TAGS_ORACLE = _DERIVED_SQL + f"""
+    SELECT CASE WHEN tag_key LIKE 'addr:%' THEN 'address' ELSE 'tags' END
+             AS bucket,
+           CASE WHEN tag_key LIKE 'addr:%' THEN substr(tag_key, 6)
+                ELSE tag_key END AS out_key,
+           count(*) AS cnt
+    FROM derived
+    WHERE regexp_extract(tag_key, '{SQL_PROBLEMCHARS}', 0) = ''
+      AND NOT (tag_key LIKE 'addr:%' AND strpos(substr(tag_key, 6), ':') > 0)
+    GROUP BY 1, 2"""
+
+
+def _q_cuisines_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20b through the ENGINE operator (audit.composed_tag_counts) over a
+    synthesized tags map; oracle = the shared cuisines_of_restaurants SQL."""
+    from osmspark.operators import audit
+
+    d = _derived_df(spark, sf_dir)
+    nodes = d.select(
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("amenity"), F.lit("cuisine")),
+                F.array(F.col("amenity"), F.col("cuisine")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags")
+    )
+    return audit.composed_tag_counts(nodes, "amenity", "restaurant", "cuisine")
+
+
 _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "street_norm_counts_engine": _q_street_norm_engine,
     "postcode_partition_engine": _q_postcode_engine,
+    "key_class_counts_engine": _q_key_class_engine,
+    "shape_tags_engine": _q_shape_tags_engine,
+    "cuisines_engine": _q_cuisines_engine,
     "pip_rect_join": _q_pip_rect,
     "knn_sq_deg": _q_knn,
     "tile_counts_int": _q_tile_counts,
@@ -670,6 +768,9 @@ _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ENGINE_ORACLES: dict[str, str] = {
     "street_norm_counts_engine": _SHARED_SQL["street_norm_counts"],
     "postcode_partition_engine": _SHARED_SQL["postcode_partition"],
+    "key_class_counts_engine": _SHARED_SQL["key_class_counts"],
+    "shape_tags_engine": _SHAPE_TAGS_ORACLE,
+    "cuisines_engine": _SHARED_SQL["cuisines_of_restaurants"],
     "pip_rect_join": _PIP_ORACLE,
     "knn_sq_deg": _KNN_ORACLE,
     "tile_counts_int": _TILE_ORACLE,

@@ -37,8 +37,15 @@ STREET_TYPE_MAPPING = {
 # anchors are explicit.
 RE_LOWER = r"^([a-z]|_)*$"
 RE_LOWER_COLON = r"^([a-z]|_)*:([a-z]|_)*$"
-# problemchars: any of  = + / & < > ; ' " ? % # $ @ , . and whitespace
-RE_PROBLEMCHARS = r"""[=\+/&<>;'"\?%#$@\, \t\r\n]"""
+# problemchars: any of  = + / & < > ; ' " ? % # $ @ , . and whitespace —
+# the FULL reference class (tags.py:~L7 [C]), including the literal dot.
+# This constant is the single source of truth: tests/oracle.py and the
+# driver entry's shared SQL both derive from it (VERDICT r1 item 1).
+RE_PROBLEMCHARS = r"""[=\+/&<>;'"\?%#$@\,\. \t\r\n]"""
+# Same class as a fragment for embedding in a single-quoted SQL string
+# literal ('' = escaped quote; parses identically on Spark SQL and DuckDB,
+# and \t/\r/\n resolve to the same chars in both regex engines).
+SQL_PROBLEMCHARS = "[=+/&<>;''\"?%#$@,. \\t\\r\\n]"
 
 # --- A8: street-type extraction regex (audit.py:~L18 street_type_re [C]) ---
 # last non-space token, optional trailing period stripped by the group

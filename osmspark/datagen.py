@@ -150,6 +150,9 @@ def spans_expr(d) -> "F.Column":
             F.when(F.pmod(h3, F.lit(25)) == 0, F.lit("check me")).alias("FIXME"),
             F.when(F.pmod(h3, F.lit(31)) == 0, F.lit("oops")).alias("bad key!"),
             F.when(F.pmod(h3, F.lit(37)) == 0, F.lit("dropme")).alias("addr:street:name"),
+            # dotted key: problemchars per tags.py [C] (the reference class
+            # includes the literal '.') -> shape must DROP it
+            F.when(F.pmod(h3, F.lit(29)) == 0, F.lit("拉布拉多")).alias("name.zh"),
         )
 
         common = [

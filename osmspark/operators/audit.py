@@ -248,6 +248,23 @@ def single_post_users(elements: DataFrame) -> DataFrame:
     )
 
 
+def composed_tag_counts(
+    nodes: DataFrame, match_key: str, match_val: str, group_key: str
+) -> DataFrame:
+    """A20b: composed two-tag aggregation — the notebook's "cuisines of
+    restaurants / religions of places of worship" query ($match on one tag,
+    $group on a second [R]).  Both tag lookups are native map extractions,
+    so the filter folds into the scan."""
+    return (
+        nodes.filter(F.col("tags")[match_key] == match_val)
+        .select(F.col("tags")[group_key].alias(group_key))
+        .filter(F.col(group_key).isNotNull())
+        .groupBy(group_key)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(group_key))
+    )
+
+
 def top_amenities(nodes: DataFrame, k: int = 10) -> DataFrame:
     """A20: $match exists(amenity) -> $group -> $sort -> $limit."""
     return (

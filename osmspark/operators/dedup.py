@@ -90,23 +90,27 @@ def minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_sig_col(num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
-                    text_col: str = "text"):
-    """MinHash signature as a PURE NATIVE column expression — zero Python.
+def shingle_hashes_col(shingle_n: int = 3, text_col: str = "text"):
+    """Distinct shingles hashed to [0, 2^31) via xxhash64 — JVM-side."""
+    return F.transform(
+        F.array_distinct(shingles_col(shingle_n, text_col)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
+    )
 
-    Shingles hash via xxhash64 (JVM), reduced to [0, 2^31) so the universal
-    hashes a_i*x + b_i stay < 2^62 (Spark 4 runs ANSI mode: int64 overflow
-    is an error, so arithmetic must be provably bounded).  Signature =
-    array over i of min_x (a_i*x + b_i) mod p — num_perm array traversals,
-    all inside codegen.  Empty docs get the max-sentinel signature."""
+
+def minhash_sig_from(shingle_hashes, num_perm: int = 64, seed: int = 42):
+    """MinHash signature from a prehashed shingle array column.
+
+    Signature = array over i of min_x (a_i*x + b_i) mod p — num_perm array
+    traversals, all inside codegen.  a_i*x + b_i < 2^62, so the arithmetic
+    is provably bounded (Spark 4 ANSI mode errors on int64 overflow).
+    Shingle-less docs get the max-sentinel signature — callers that band
+    signatures MUST exclude those rows (see minhash_dedup_pairs), or all
+    short/empty docs collide into one O(n^2) LSH mega-bucket."""
     a, b = minhash_params(num_perm, seed)
     a31 = [int(x) % (1 << 31) or 1 for x in a]
     b31 = [int(x) % (1 << 31) for x in b]
     p = 2_147_483_647  # 2^31 - 1 (Mersenne); a*x+b < 2^62 -> no overflow
-    shingle_hashes = F.transform(
-        F.array_distinct(shingles_col(shingle_n, text_col)),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
-    )
     A = F.array(*[F.lit(x).cast("long") for x in a31])
     B = F.array(*[F.lit(x).cast("long") for x in b31])
     init = F.array_repeat(F.lit(p - 1).cast("long"), num_perm)
@@ -124,6 +128,14 @@ def minhash_sig_col(num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
                        F.lit(p)),
             ),
         ),
+    )
+
+
+def minhash_sig_col(num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
+                    text_col: str = "text"):
+    """MinHash signature as a PURE NATIVE column expression — zero Python."""
+    return minhash_sig_from(
+        shingle_hashes_col(shingle_n, text_col), num_perm, seed
     )
 
 
@@ -182,9 +194,26 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact signature-estimated
-    Jaccard (fraction of matching minhashes) >= threshold."""
-    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col).cache()
-    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    Jaccard (fraction of matching minhashes) >= threshold.
+
+    Shingle-less docs (fewer than shingle_n tokens) are EXCLUDED from
+    banding: their all-sentinel signatures would otherwise collide into a
+    single mega-bucket per band — quadratic pair blowup plus false
+    est_jaccard=1.0 "near-dups" between unrelated short docs (round-1
+    ADVICE high).  They emit no pairs, so downstream keep-lists treat them
+    as singleton keepers; truly identical short texts are exact_dedup's
+    job."""
+    base = docs.select(
+        F.col(id_col), shingle_hashes_col(shingle_n, text_col).alias("__sh")
+    )
+    sigs = base.select(
+        id_col,
+        minhash_sig_from(F.col("__sh"), num_perm, seed=42).alias("sig"),
+        F.size("__sh").alias("__n_sh"),
+    ).cache()
+    cand = lsh_candidate_pairs(
+        sigs.filter(F.col("__n_sh") > 0).select(id_col, "sig"), bands, id_col
+    )
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -232,8 +261,17 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Candidate pairs via 4x16-bit block banding (pigeonhole: hamming<=3
-    implies >=1 identical block), verified by exact popcount distance."""
-    sh = docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
+    implies >=1 identical block), verified by exact popcount distance.
+
+    Token-less docs (empty/whitespace text) are excluded before hashing:
+    they all get sh=0 and would collide into one mega-bucket (round-1
+    ADVICE high) — they emit no pairs, i.e. they are singleton keepers."""
+    nonempty = docs.filter(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) != ""
+    )
+    sh = nonempty.select(
+        F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh")
+    )
     blocks = sh.select(
         id_col, "sh",
         F.posexplode(
@@ -269,13 +307,20 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
-                    id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
-    """Near-dup pairs -> (doc_id, keeper): connected components by iterative
-    min-label propagation (each round: everyone adopts the smallest label in
-    their neighborhood; converges in O(component diameter) rounds — near-dup
-    clusters are shallow in practice).  Keeper = min id per component; docs
-    in no pair keep themselves.  Distributed: each round is one
-    groupBy-min + join, with localCheckpoint to cut the lineage."""
+                    id_col: str = "doc_id", max_iter: int = 20,
+                    strict: bool = True) -> DataFrame:
+    """Near-dup pairs -> (doc_id, keeper): connected components by min-label
+    propagation WITH pointer doubling (each round every node adopts
+    min(own label, neighborhood min, label-of-its-label)) — the label-
+    reference chains halve each round, so convergence is O(log diameter),
+    not O(diameter): max_iter=20 covers components of diameter ~2^20.
+    Keeper = min id per component; docs in no pair keep themselves.
+    Distributed: each round is one groupBy-min + two joins, with
+    localCheckpoint to cut the lineage.
+
+    Non-convergence within max_iter raises (strict=True, default) or prints
+    a loud warning — never silently returns split components (round-1
+    ADVICE low)."""
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -286,18 +331,28 @@ def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: the label of my current label
+        lbl2 = labels.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        jumped = labels.join(
+            lbl2, labels["label"] == lbl2["pnode"], "left"
+        ).select("node", "label", "plabel")
         new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
+            jumped.join(neigh_min, jumped["node"] == neigh_min["u"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("plabel", F.col("label")),
+                    F.coalesce("nlabel", F.col("label")),
                 ).alias("label"),
             )
         )
@@ -310,7 +365,14 @@ def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (f"dedup_keep_list did NOT converge in {max_iter} rounds; "
+               f"components would be split into multiple keepers")
+        if strict:
+            raise RuntimeError(msg)
+        print(f"WARNING: {msg}")
     return (
         docs.select(F.col(id_col))
         .join(labels, docs[id_col] == labels["node"], "left")

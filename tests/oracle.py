@@ -24,7 +24,7 @@ from osmspark.config import (
 street_type_re = re.compile(r"\b(\S+?)\.?$")
 lower = re.compile(r"^([a-z]|_)*$")
 lower_colon = re.compile(r"^([a-z]|_)*:([a-z]|_)*$")
-problemchars = re.compile(r"""[=\+/&<>;'"\?%#$@\, \t\r\n]""")
+problemchars = re.compile(r"""[=\+/&<>;'"\?%#$@\,\. \t\r\n]""")
 
 _PREFIX_FORMS = sorted(
     set(MALAY_PREFIX_TYPES)

@@ -68,6 +68,40 @@ def test_simhash_near_dups(texts):
     assert any(h <= 6 for (a, b), h in got.items() if a == 0 and b != 100)
 
 
+def test_short_docs_no_sentinel_bucket(spark):
+    """1k empty / 1-word docs (zero shingles) must produce ZERO MinHash or
+    SimHash pairs — round 1 paired them all via the all-sentinel signature
+    (one O(n^2) LSH mega-bucket + false est_jaccard=1.0)."""
+    rows = [(i, "") if i % 3 == 0 else
+            (i, " ") if i % 3 == 1 else
+            (i, f"w{i}") for i in range(1000)]
+    # two genuinely near-dup long docs as a positive control
+    rows.append((2000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((2001, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_dedup_pairs(df, threshold=0.3, num_perm=64, bands=16)
+    got = {(r["a"], r["b"]) for r in mh.collect()}
+    assert got == {(2000, 2001)}
+    sh = dedup.simhash_near_dup_pairs(df, max_hamming=16)
+    got_sh = {(r["a"], r["b"]) for r in sh.collect()}
+    # no empty-doc pair may appear; 1-word docs have distinct words so any
+    # residual pair must involve the two long docs
+    assert all(a >= 2000 or (a % 3 == 2 and b % 3 == 2) for a, b in got_sh)
+    assert not any(a % 3 != 2 and a < 2000 for a, b in got_sh)
+
+
+def test_keep_list_deep_chain(spark):
+    """60-node chain (diameter 59) converges within max_iter=20 thanks to
+    pointer doubling; every node's keeper is the component min."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "a long, b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    keep = dedup.dedup_keep_list(pairs, docs, max_iter=20)
+    got = {r["doc_id"]: r["keeper"] for r in keep.collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],

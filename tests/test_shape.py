@@ -38,10 +38,15 @@ def test_shape_ways_node_refs_order(ways, docs_py):
 
 def test_shape_drops_problem_and_two_level_keys(nodes):
     rows = shape.shape_nodes(nodes).collect()
+    seen_raw_dotted = nodes.filter(
+        nodes["tags"]["name.zh"].isNotNull()
+    ).count()
+    assert seen_raw_dotted > 0  # the fixture must exercise the dotted key
     for r in rows:
         for k in dict(r["tags"] or {}):
             assert not k.startswith("addr:")
             assert "bad key!" != k
+            assert "name.zh" != k  # '.' is problemchars (tags.py [C])
         for k in dict(r["address"] or {}):
             assert ":" not in k
 
