@@ -557,9 +557,30 @@ def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         _KNN_QUERIES, "query_id string, lat double, lon double"
     )
+    # rank-level compare only: the haversine VALUE is float-env-sensitive
+    # across engines (JVM StrictMath vs libm), but the ORDERING is stable —
+    # distinct grid points differ by >> 1 ulp, exact ties break on point_id
     return knn_kring(pts, qdf, k=10, res=8, metric="haversine").select(
-        "query_id", "rank", "point_id", F.round("dist", 3).alias("dist_m")
+        "query_id", "rank", "point_id"
     )
+
+
+_KNN_HAVERSINE_ORACLE = _DERIVED_SQL + f"""
+    SELECT query_id, rank, point_id FROM (
+      SELECT q.query_id AS query_id,
+             cast(d.d as string) AS point_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY 2 * 6371008.8 * asin(sqrt(
+                   pow(sin(radians(d.lat - q.qlat) / 2), 2)
+                   + cos(radians(q.qlat)) * cos(radians(d.lat))
+                     * pow(sin(radians(d.lon - q.qlon) / 2), 2))) ASC,
+                 cast(d.d as string) ASC
+             ) AS rank
+      FROM derived d
+      JOIN (VALUES {_KNN_SQL_VALUES}) AS q(query_id, qlat, qlon)
+        ON d.kind = 'node'
+    ) t WHERE rank <= 10"""
 
 
 def _q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,6 +786,27 @@ _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": _q_fingerprints,
 }
 
+# ---------------------------------------------------------------------------
+# Golden regression oracles for queries whose math has no SQL twin (cell
+# indexes via trig, xxhash64 sampling, MinHash/SimHash, Arrow-UDF features).
+# Mechanism (round-1 VERDICT item 7): the engine's sf0.01 result is FROZEN
+# to a committed parquet (tools/make_golden.py), which DuckDB cross-reads —
+# so the driver check pins these queries against regression.  INDEPENDENT
+# correctness for each lives in tests/ (brute-force / property / oracle.py
+# suites); these rows are regression gates, not independent derivations.
+# ---------------------------------------------------------------------------
+GOLDEN_DIR = "/root/repo/tests/golden"
+GOLDEN_QUERIES = [
+    "hex_cell_counts", "s2_cell_counts", "systematic_sample_hash",
+    "doc_fingerprints", "minhash_near_dups", "simhash_near_dups",
+    "minhash_keep_list", "media_features", "tile_render_raster",
+]
+_GOLDEN_ORACLES = {
+    name: f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
+    for name in GOLDEN_QUERIES
+}
+
+
 _ENGINE_ORACLES: dict[str, str] = {
     "street_norm_counts_engine": _SHARED_SQL["street_norm_counts"],
     "postcode_partition_engine": _SHARED_SQL["postcode_partition"],
@@ -781,6 +823,7 @@ _ENGINE_ORACLES: dict[str, str] = {
     "ann_cosine_topk": _ANN_ORACLE,
     "span_invariant": _SPAN_INVARIANT_ORACLE,
     "salted_group_counts": _SALTED_ORACLE,
+    "knn_haversine": _KNN_HAVERSINE_ORACLE,
 }
 
 
@@ -820,6 +863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     d = dict(_SHARED_SQL)
     d.update(_ENGINE_ORACLES)
+    for name, sql in _GOLDEN_ORACLES.items():
+        if os.path.exists(f"{GOLDEN_DIR}/{name}.parquet"):
+            d[name] = sql
     return d

@@ -85,7 +85,16 @@ def knn_kring(
     """k-ring kNN: equivalent to knn_bruteforce, without the crossJoin.
 
     points: distributed (point_id, lat, lon, ...); queries: small
-    (query_id, lat, lon)."""
+    (query_id, lat, lon).
+
+    Fully distributed result path (round-1 VERDICT item 5): each round's
+    per-query top-k stays in a localCheckpoint'ed DataFrame; the driver
+    collects ONLY (query_id, kth_dist, n_cand) for the still-active set —
+    O(active) scalars, never the q*k result rows.  Finished queries'
+    top-k rows are kept as DataFrames and lazily unioned at the end, so
+    the result never round-trips through the driver."""
+    from functools import reduce
+
     spark = points.sparkSession
     qrows = queries.select("query_id", "lat", "lon").collect()
     if len(qrows) > MAX_QUERIES:
@@ -94,6 +103,7 @@ def knn_kring(
     qlat = np.array([r["lat"] for r in qrows], dtype=np.float64)
     qlon = np.array([r["lon"] for r in qrows], dtype=np.float64)
     qcell = hexgrid.latlon_to_cell(qlat, qlon, res)
+    qindex = {q: i for i, q in enumerate(qid.tolist())}
 
     # local circumradius per query, measured from ring-1 neighbor spacing:
     # spacing s = sqrt(3)*R  =>  R = s/sqrt(3)
@@ -118,8 +128,16 @@ def knn_kring(
     # cell assignment is reused every expansion round — materialize it once
     p = p.persist()
 
+    # dist -> conservative meters for the coverage-guarantee comparison
+    if metric == "sq_deg":
+        def to_m(dist_col):
+            return F.sqrt(dist_col) * F.lit(111_320.0)
+    else:
+        def to_m(dist_col):
+            return dist_col
+
     active = np.ones(len(qid), dtype=bool)
-    results = []  # per finished query: list of Rows
+    result_dfs: list[DataFrame] = []
     ring = start_ring
     for _ in range(max_rounds):
         if not active.any():
@@ -128,16 +146,22 @@ def knn_kring(
         ids = np.repeat(qid[active], cells.shape[1])
         lats = np.repeat(qlat[active], cells.shape[1])
         lons = np.repeat(qlon[active], cells.shape[1])
+        # per-query coverage bound for THIS ring (meters)
+        covered = np.repeat(
+            1.5 * radius_m[active] * ring - radius_m[active], cells.shape[1]
+        )
         cand_cells = spark.createDataFrame(
             list(
                 zip(
                     ids.tolist(),
                     lats.tolist(),
                     lons.tolist(),
+                    covered.tolist(),
                     cells.ravel().tolist(),
                 )
             ),
-            schema="query_id string, qlat double, qlon double, pcell long",
+            schema="query_id string, qlat double, qlon double, "
+                   "covered_m double, pcell long",
         )
         joined = p.join(F.broadcast(cand_cells), "pcell").withColumn(
             "dist",
@@ -146,28 +170,41 @@ def knn_kring(
             ),
         )
         w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+        # materialize this round's top-k ONCE (q*k rows, distributed);
+        # both the stats agg and the kept-results filter read the checkpoint
         topk = (
             joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "point_id", "dist")
-            .collect()
+            .select("query_id", "rank", "point_id", "dist", "covered_m")
+            .localCheckpoint(eager=True)
         )
-        by_q = {}
-        for r in topk:
-            by_q.setdefault(r["query_id"], []).append(r)
-
-        # guarantee check per active query
-        act_idx = np.where(active)[0]
-        for i in act_idx:
-            rows = by_q.get(qid[i], [])
-            covered_m = 1.5 * radius_m[i] * ring - radius_m[i]
-            kth = rows[-1]["dist"] if len(rows) == k else None
-            if metric == "sq_deg" and kth is not None:
-                # sq_deg is squared degrees; compare in meters conservatively
-                kth = np.sqrt(kth) * 111_320.0
-            if len(rows) == k and kth <= covered_m:
-                results.extend(rows)
-                active[i] = False
+        # ONE tiny agg row per active query: done-ness decided by comparing
+        # the k-th distance against the ring-coverage bound
+        qstats = (
+            topk.groupBy("query_id")
+            .agg(
+                F.max(to_m(F.col("dist"))).alias("kth_m"),
+                F.count("*").alias("n"),
+                F.first("covered_m").alias("covered_m"),
+            )
+            .withColumn(
+                "done", (F.col("n") == k) & (F.col("kth_m") <= F.col("covered_m"))
+            )
+        )
+        done_ids = [
+            r["query_id"] for r in
+            qstats.filter(F.col("done")).select("query_id").collect()
+        ]
+        if done_ids:
+            done_df = spark.createDataFrame(
+                [(q,) for q in done_ids], "query_id string"
+            )
+            result_dfs.append(
+                topk.join(F.broadcast(done_df), "query_id")
+                .select("query_id", "rank", "point_id", "dist")
+            )
+            for q in done_ids:
+                active[qindex[q]] = False
         if active.any():
             ring *= 2
             if ring > max_ring:
@@ -181,12 +218,18 @@ def knn_kring(
                      qlon[active].tolist())),
             schema="query_id string, lat double, lon double",
         )
-        bf = knn_bruteforce(
-            points, leftover, k, metric=metric, point_id=point_id
-        ).collect()
-        results.extend(bf)
+        result_dfs.append(
+            knn_bruteforce(points, leftover, k, metric=metric,
+                           point_id=point_id)
+        )
 
     p.unpersist()
-    return spark.createDataFrame(
-        results, schema="query_id string, rank int, point_id string, dist double"
+    if not result_dfs:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, point_id string, dist double"
+        )
+    out = reduce(DataFrame.unionByName, result_dfs)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "point_id", "dist",
     )

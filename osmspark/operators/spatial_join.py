@@ -51,24 +51,49 @@ def _point_segment_dist2(px, py, x1, y1, x2, y2):
     return (px - cx) ** 2 + (py - cy) ** 2
 
 
-def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarray:
-    """Near-minimal cover: bbox cells whose center is inside the ring or
-    within 1.1*circumradius of an edge (superset guarantee: any point of the
-    polygon lies in a cell whose center is <= circumradius away)."""
-    x, y, z = latlon_to_xyz(lats, lons)
-    face, u, v = xyz_to_face_uv(x, y, z)
-    if len(np.unique(face)) != 1:
-        raise ValueError("polygon spans multiple cube faces (v1 limitation)")
-    f = int(face[0])
-    corners_u = np.array([u.min(), u.min(), u.max(), u.max()])
-    corners_v = np.array([v.min(), v.max(), v.min(), v.max()])
+# unit axis of each cube face (S2 face layout; s2.face_uv_to_xyz)
+_FACE_AXES = np.array([
+    [1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1],
+], dtype=np.float64)
+
+
+def _xyz_to_uv_on_face(f: int, x, y, z):
+    """Gnomonic (u, v) of points onto the plane of a GIVEN face `f` —
+    the per-face inverse of s2.face_uv_to_xyz.  Valid for points in the
+    open hemisphere of the face axis (denominator sign checked by caller).
+    Unlike xyz_to_face_uv, |u|/|v| may exceed 1 (point lives off-face)."""
+    if f == 0:
+        return y / x, z / x
+    if f == 1:
+        return -x / y, z / y
+    if f == 2:
+        return -x / z, -y / z
+    if f == 3:
+        return z / x, y / x
+    if f == 4:
+        return z / y, -x / y
+    return -y / z, -x / z
+
+
+def _cover_on_face(f: int, u, v, res: int) -> np.ndarray:
+    """Cover cells of ONE face for a ring projected to that face's uv plane:
+    bbox cells whose center is inside the ring or within 1.1*circumradius of
+    an edge, clipped to the face square (plus one cell of slack — only cells
+    some point can actually map to are useful join keys)."""
+    radius = hexgrid._res_frame(res)[0]
+    pad = 2.0 * radius
+    lo_u, hi_u = max(u.min(), -1.0 - pad), min(u.max(), 1.0 + pad)
+    lo_v, hi_v = max(v.min(), -1.0 - pad), min(v.max(), 1.0 + pad)
+    if lo_u > hi_u or lo_v > hi_v:
+        return np.zeros(0, dtype=np.int64)  # ring part misses this face
+    corners_u = np.array([lo_u, lo_u, hi_u, hi_u])
+    corners_v = np.array([lo_v, hi_v, lo_v, hi_v])
     qf, rf = hexgrid._xy_to_axial(corners_u, corners_v, res)
     q0, q1 = int(np.floor(qf.min())) - 1, int(np.ceil(qf.max())) + 1
     r0, r1 = int(np.floor(rf.min())) - 1, int(np.ceil(rf.max())) + 1
     qq, rr = np.meshgrid(np.arange(q0, q1 + 1), np.arange(r0, r1 + 1))
     qq, rr = qq.ravel(), rr.ravel()
     cx, cy = hexgrid._axial_to_xy(qq.astype(np.float64), rr.astype(np.float64), res)
-    radius = hexgrid._res_frame(res)[0]
     # center-in-ring (in uv plane) ...
     inside = points_in_rings_np(
         cy, cx, [v] * len(cx), [u] * len(cx)
@@ -78,9 +103,44 @@ def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarra
         cx[:, None], cy[:, None],
         u[None, :-1], v[None, :-1], u[None, 1:], v[None, 1:],
     ).min(axis=1)
-    keep = inside | (d2 <= (1.1 * radius) ** 2)
+    on_face = (np.abs(cx) <= 1.0 + pad) & (np.abs(cy) <= 1.0 + pad)
+    keep = (inside | (d2 <= (1.1 * radius) ** 2)) & on_face
     qq, rr = qq[keep], rr[keep]
     return hexgrid.pack(np.full_like(qq, res), np.full_like(qq, f), qq, rr)
+
+
+def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarray:
+    """Near-minimal cover: bbox cells whose center is inside the ring or
+    within 1.1*circumradius of an edge (superset guarantee: any point of the
+    polygon lies in a cell whose center is <= circumradius away).
+
+    Multi-face: the ring is re-projected onto EVERY cube face touched by a
+    vertex or an edge midpoint, and per-face covers are unioned — points
+    near a face boundary get their cell on their own face, so each face's
+    cover must include its share of the polygon (round-1 VERDICT item 6;
+    v1 raised ValueError here).  Polygons wider than a hemisphere (any
+    vertex behind a touched face's plane) are rejected — an admin/ZIP dim
+    never is."""
+    x, y, z = latlon_to_xyz(lats, lons)
+    face, _, _ = xyz_to_face_uv(x, y, z)
+    # faces touched by vertices + by edge midpoints (catches edges whose
+    # endpoints share a face but whose middle dips onto a neighbor face)
+    mx, my, mz = (x[:-1] + x[1:]) / 2, (y[:-1] + y[1:]) / 2, (z[:-1] + z[1:]) / 2
+    mnorm = np.sqrt(mx * mx + my * my + mz * mz)
+    mface, _, _ = xyz_to_face_uv(mx / mnorm, my / mnorm, mz / mnorm)
+    faces = np.unique(np.concatenate([face, mface]))
+    covers = []
+    for f in faces:
+        f = int(f)
+        ax = _FACE_AXES[f]
+        dots = x * ax[0] + y * ax[1] + z * ax[2]
+        if np.any(dots <= 0.05):
+            raise ValueError(
+                "polygon spans opposing hemispheres; split it before joining"
+            )
+        uf, vf = _xyz_to_uv_on_face(f, x, y, z)
+        covers.append(_cover_on_face(f, uf, vf, res))
+    return np.unique(np.concatenate(covers))
 
 
 def polygon_covers(polys_rows: list, res: int) -> list[tuple]:

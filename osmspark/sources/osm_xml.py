@@ -38,8 +38,11 @@ DOC_BATCH = 100  # OSM elements per output document
 
 
 def _element_to_span(el: ET.Element) -> dict | None:
+    """node/way/RELATION -> span.  Relations were dropped in round 1, which
+    made tag-name frequency diverge from the reference's count_tags
+    (mapparser.py:~L6 [C] counts every element kind) on real .osm files."""
     kind = el.tag
-    if kind not in ("node", "way"):
+    if kind not in ("node", "way", "relation"):
         return None
     payload: dict = dict(el.attrib)
     tags = {t.attrib["k"]: t.attrib["v"] for t in el.iter("tag")}
@@ -47,6 +50,13 @@ def _element_to_span(el: ET.Element) -> dict | None:
         payload["tags"] = tags
     if kind == "way":
         payload["nd"] = [nd.attrib["ref"] for nd in el.iter("nd")]
+    if kind == "relation":
+        payload["members"] = [
+            {"type": m.attrib.get("type", ""),
+             "ref": m.attrib.get("ref", ""),
+             "role": m.attrib.get("role", "")}
+            for m in el.iter("member")
+        ]
     for fl in ("lat", "lon"):
         if fl in payload:
             payload[fl] = float(payload[fl])

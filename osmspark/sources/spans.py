@@ -30,6 +30,14 @@ NODE_JSON_SCHEMA = (
 )
 # way spans add the ordered node-ref list (reference node_refs, data.py:~L58 [C])
 WAY_JSON_SCHEMA = NODE_JSON_SCHEMA + ", nd array<string>"
+# relations add ordered typed members; also a parse-anything superset schema
+RELATION_JSON_SCHEMA = (
+    NODE_JSON_SCHEMA
+    + ", members array<struct<type:string,ref:string,role:string>>"
+)
+ANY_JSON_SCHEMA = WAY_JSON_SCHEMA + (
+    ", members array<struct<type:string,ref:string,role:string>>"
+)
 
 
 def explode_spans(docs: DataFrame, kinds: list[str] | None = None) -> DataFrame:
@@ -81,6 +89,47 @@ def parse_nodes(docs_or_spans: DataFrame) -> DataFrame:
 def parse_ways(docs_or_spans: DataFrame) -> DataFrame:
     """way spans -> flat rows incl. ordered `nd` node-ref array (SURVEY A15)."""
     return _parse(docs_or_spans, "way", WAY_JSON_SCHEMA)
+
+
+def parse_relations(docs_or_spans: DataFrame) -> DataFrame:
+    """relation spans -> flat rows incl. ordered typed `members` array."""
+    return _parse(docs_or_spans, "relation", RELATION_JSON_SCHEMA)
+
+
+def count_xml_tags(docs: DataFrame) -> DataFrame:
+    """A4 FULL parity with the reference's count_tags (mapparser.py:~L6 [C]):
+    counts every XML tag NAME the original .osm carried — element kinds
+    (node/way/relation) plus their nested children (tag/nd/member),
+    reconstructed from the parsed span payloads.  The <osm>/<bounds> wrapper
+    elements are not represented post-extraction (documented deviation).
+
+    Shape: one explode + one shuffle of (name, partial count) pairs."""
+    spans = explode_spans(docs, kinds=["node", "way", "relation"])
+    parsed = spans.select(
+        "kind", F.from_json("text", ANY_JSON_SCHEMA).alias("el")
+    )
+
+    def _n(col):  # size() of a NULL array/map is NULL (or -1 pre-ANSI)
+        return F.greatest(F.coalesce(F.size(col), F.lit(0)), F.lit(0))
+
+    pairs = parsed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("kind").alias("name"), F.lit(1).alias("cnt")),
+                F.struct(F.lit("tag").alias("name"),
+                         _n(F.map_keys("el.tags")).alias("cnt")),
+                F.struct(F.lit("nd").alias("name"),
+                         _n(F.col("el.nd")).alias("cnt")),
+                F.struct(F.lit("member").alias("name"),
+                         _n(F.col("el.members")).alias("cnt")),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.name", "p.cnt")
+        .groupBy("name").agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
 
 
 def span_struct() -> Column:

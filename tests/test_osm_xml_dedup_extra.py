@@ -50,11 +50,19 @@ def test_osm_xml_roundtrip(osm_docs):
     ways = parse_ways(osm_docs).collect()
     assert len(ways) == 1
     assert list(ways[0]["nd"]) == ["1", "2", "1"]  # order + dup preserved
-    # relations are not node/way elements -> excluded (A3 semantics)
-    from osmspark.sources import explode_spans
+    # relations ARE spans now (A4 parity with count_tags [C]); A3 filters
+    # still exclude them from node/way pipelines
+    from osmspark.sources import count_xml_tags, explode_spans, parse_relations
 
     kinds = {r["kind"] for r in explode_spans(osm_docs).collect()}
-    assert kinds <= {"node", "way"}
+    assert kinds == {"node", "way", "relation"}
+    rels = parse_relations(osm_docs).collect()
+    assert len(rels) == 1 and rels[0]["id"] == "4"
+    assert [m["ref"] for m in rels[0]["members"]] == ["3"]
+    # full count_tags parity: every tag NAME the .osm carried
+    counts = {r["name"]: r["cnt"] for r in count_xml_tags(osm_docs).collect()}
+    assert counts == {"node": 2, "way": 1, "relation": 1,
+                      "tag": 5, "nd": 3, "member": 1}
 
 
 def test_osm_xml_feeds_audit(osm_docs):

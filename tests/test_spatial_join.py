@@ -96,3 +96,60 @@ def test_spatial_join_no_rowwise_python(joined):
 def test_spatial_join_broadcasts_polygons(joined):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_multiface_polygon_join(spark):
+    """Rings straddling cube-face boundaries (lon=45deg: face 0|1 edge;
+    lat=45deg at lon=0: face 0|2 edge) — PIP join must equal brute force.
+    Round 1 raised ValueError on any multi-face ring."""
+    rects = {
+        "lon45": (10.0, 12.0, 44.0, 46.0),    # crosses face 0 -> 1
+        "lat45": (44.0, 46.0, -1.0, 1.0),     # crosses face 0 -> 2
+        "corner": (44.2, 45.8, 43.9, 46.1),   # near the 3-face corner
+    }
+    rows = []
+    for pid, (la0, la1, lo0, lo1) in rects.items():
+        ring = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+        rows.append((pid, "test", [{"lat": a, "lon": o} for a, o in ring], None))
+    polys = spark.createDataFrame(
+        rows,
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    rng = np.random.default_rng(11)
+    plat_l, plon_l = [], []
+    for la0, la1, lo0, lo1 in rects.values():
+        plat_l.append(rng.uniform(la0 - 1.0, la1 + 1.0, 1200))
+        plon_l.append(rng.uniform(lo0 - 1.0, lo1 + 1.0, 1200))
+    plat = np.concatenate(plat_l)
+    plon = np.concatenate(plon_l)
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    got = {(r["id"], r["poly_id"])
+           for r in sj.spatial_join(pts, polys, res=7).collect()}
+    exp = set()
+    for pid, (la0, la1, lo0, lo1) in rects.items():
+        ring = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+        for i in range(len(plat)):
+            if _pip_py(plat[i], plon[i], ring):
+                exp.add((str(i), pid))
+    assert got == exp
+    assert len(exp) > 50  # each rect must catch points on BOTH faces
+
+
+def test_multiface_cover_superset():
+    """Interior samples of a face-straddling ring always land in the cover."""
+    from osmspark.functions import hexgrid
+
+    lats = np.array([10.0, 10.0, 12.0, 12.0, 10.0])
+    lons = np.array([44.0, 46.0, 46.0, 44.0, 44.0])
+    cover = set(sj._ring_cover_cells(lats, lons, 8).tolist())
+    faces = {hexgrid.unpack(np.array([c]))[1][0] for c in cover}
+    assert len(faces) == 2  # cover spans both cube faces
+    rng = np.random.default_rng(3)
+    slat = rng.uniform(10.0, 12.0, 500)
+    slon = rng.uniform(44.0, 46.0, 500)
+    cells = hexgrid.latlon_to_cell(slat, slon, 8)
+    assert set(cells.tolist()) <= cover
