@@ -442,6 +442,39 @@ _NGRAM_ORACLE = """
     FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id"""
 
 
+def _q_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct dedup composition (LSH candidates -> exact n-gram
+    Jaccard verify on pairs only); oracle = brute-force all-pairs exact
+    Jaccard >= threshold in SQL.  Equality holds because LSH recall at
+    j >= 0.8 with 16x4 banding is ~0.9996 and the fixed synthetic corpus
+    has no pair in the miss band (verified at freeze time)."""
+    from osmspark.operators.dedup import verified_near_dup_pairs
+
+    _register(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").filter(F.col("doc_id") < 500)
+    return verified_near_dup_pairs(docs, jaccard_threshold=0.8)
+
+
+_VERIFIED_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 500
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN []
+               ELSE [array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)] END) AS sh
+      FROM t
+    )
+    SELECT a, b, jaccard FROM (
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
+      FROM s l JOIN s r ON l.doc_id < r.doc_id
+      WHERE len(l.sh) > 0 AND len(r.sh) > 0
+    ) q WHERE jaccard >= 0.8"""
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmspark.operators.textstats import text_stats
 
@@ -769,6 +802,7 @@ _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_raster_sparse": _q_tile_raster,
     "exact_dedup_keep": _q_exact_dedup,
     "ngram_jaccard": _q_ngram_jaccard,
+    "verified_near_dups": _q_verified_near_dups,
     "text_stats": _q_text_stats,
     "ann_cosine_topk": _q_ann_cosine,
     "span_invariant": _q_span_invariant,
@@ -819,6 +853,7 @@ _ENGINE_ORACLES: dict[str, str] = {
     "tile_raster_sparse": _RASTER_ORACLE,
     "exact_dedup_keep": _EXACT_DEDUP_ORACLE,
     "ngram_jaccard": _NGRAM_ORACLE,
+    "verified_near_dups": _VERIFIED_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "ann_cosine_topk": _ANN_ORACLE,
     "span_invariant": _SPAN_INVARIANT_ORACLE,

@@ -130,9 +130,14 @@ def parent_cell(cell, parent_res: int):
     return latlon_to_cell(lat, lon, parent_res)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def kring_offsets(k: int):
     """Axial offsets of the filled k-ring (1 + 3k(k+1) cells): self first,
-    then ring by ring (standard hex-ring walk), vectorized for large k."""
+    then ring by ring (standard hex-ring walk), vectorized for large k.
+    Cached per k — callers must not mutate the returned list."""
     if k == 0:
         return [(0, 0)]
     qq, rr = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1),
@@ -161,6 +166,113 @@ def kring(cell, k: int):
 
 
 # --- Spark surface ---------------------------------------------------------
+def with_hex_cell_native(df, res: int, lat="lat", lon="lon", out_col=None):
+    """Hex cell id via PURE NATIVE column expressions — the whole
+    latlon -> xyz -> face/uv -> rotated axial -> cube-round -> pack chain in
+    built-in functions, so cell assignment stays inside whole-stage codegen
+    (no Python in the headline spatial path; round-2 perf item).
+
+    STAGED on purpose: each step is a separate select() defining named
+    intermediates, so every value is computed ONCE per row.  Building this
+    as one nested Column expression duplicates each subtree at every
+    reference (Catalyst expressions are trees, not DAGs) — measured 6x
+    SLOWER than the Arrow UDF before staging.  CollapseProject keeps the
+    stages separate because the intermediates are non-cheap and
+    multiply-referenced; codegen pipelines them with local variables.
+
+    Bit-parity with the numpy path (`latlon_to_cell`): same constants, same
+    rounding (F.rint == np.rint, half-even); JVM-vs-numpy trig can differ by
+    ~1 ulp, which can flip a point sitting EXACTLY on a cell boundary to the
+    adjacent cell — harmless for the join/kNN contracts (covers pad by >=
+    one circumradius; kNN bounds are metric) and asserted absent in tests."""
+    if not 0 <= res <= 15:
+        raise ValueError("res must be in [0, 15]")
+    out_col = out_col or f"hex_r{res}"
+    radius, c, s = _res_frame(res)
+    C = F.col
+    lat_r, lon_r = F.radians(C(lat)), F.radians(C(lon))
+    cl = F.cos(lat_r)
+    s1 = df.select(
+        "*",
+        (cl * F.cos(lon_r)).alias("__hx"),
+        (cl * F.sin(lon_r)).alias("__hy"),
+        F.sin(lat_r).alias("__hz"),
+    )
+    ax, ay, az = F.abs(C("__hx")), F.abs(C("__hy")), F.abs(C("__hz"))
+    face0 = (
+        F.when((ax >= ay) & (ax >= az), F.lit(0))
+        .when(ay >= az, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    s2 = s1.select("*", face0.alias("__hf0"))
+    major = (
+        F.when(C("__hf0") == 0, C("__hx"))
+        .when(C("__hf0") == 1, C("__hy"))
+        .otherwise(C("__hz"))
+    )
+    s3 = s2.select(
+        "*",
+        F.when(major < 0, C("__hf0") + F.lit(3))
+        .otherwise(C("__hf0")).alias("__hface"),
+    )
+    u = (
+        F.when(C("__hface") == 0, C("__hy") / C("__hx"))
+        .when(C("__hface") == 1, -C("__hx") / C("__hy"))
+        .when(C("__hface") == 2, -C("__hx") / C("__hz"))
+        .when(C("__hface") == 3, C("__hz") / C("__hx"))
+        .when(C("__hface") == 4, C("__hz") / C("__hy"))
+        .otherwise(-C("__hy") / C("__hz"))
+    )
+    v = (
+        F.when(C("__hface") == 0, C("__hz") / C("__hx"))
+        .when(C("__hface") == 1, C("__hz") / C("__hy"))
+        .when(C("__hface") == 2, -C("__hy") / C("__hz"))
+        .when(C("__hface") == 3, C("__hy") / C("__hx"))
+        .when(C("__hface") == 4, -C("__hx") / C("__hy"))
+        .otherwise(-C("__hx") / C("__hz"))
+    )
+    s4 = s3.select("*", u.alias("__hu"), v.alias("__hv"))
+    xr = C("__hu") * F.lit(c) + C("__hv") * F.lit(s)
+    yr = -C("__hu") * F.lit(s) + C("__hv") * F.lit(c)
+    s5 = s4.select("*", xr.alias("__hxr"), yr.alias("__hyr"))
+    qf = (F.lit(_SQRT3 / 3.0) * C("__hxr") - C("__hyr") / F.lit(3.0)) / F.lit(radius)
+    rf = (F.lit(2.0 / 3.0) * C("__hyr")) / F.lit(radius)
+    s6 = s5.select("*", qf.alias("__hqf"), rf.alias("__hrf"),
+                   (-qf - rf).alias("__hsf"))
+    s7 = s6.select(
+        "*",
+        F.rint(C("__hqf")).alias("__hq0"),
+        F.rint(C("__hrf")).alias("__hr0"),
+        F.rint(C("__hsf")).alias("__hs0"),
+    )
+    dq = F.abs(C("__hq0") - C("__hqf"))
+    dr = F.abs(C("__hr0") - C("__hrf"))
+    ds = F.abs(C("__hs0") - C("__hsf"))
+    s8 = s7.select("*", dq.alias("__hdq"), dr.alias("__hdr"), ds.alias("__hds"))
+    fix_q = (C("__hdq") > C("__hdr")) & (C("__hdq") > C("__hds"))
+    fix_r = ~fix_q & (C("__hdr") > C("__hds"))
+    # when fix_r holds, fix_q is false, so the q in (-q - s) is still q0
+    q = F.when(fix_q, -C("__hr0") - C("__hs0")).otherwise(C("__hq0")).cast("long")
+    r = F.when(fix_r, -C("__hq0") - C("__hs0")).otherwise(C("__hr0")).cast("long")
+    s9 = s8.select("*", q.alias("__hq"), r.alias("__hr"))
+    packed = (
+        F.shiftleft(F.lit(res).cast("long"), 59)
+        .bitwiseOR(F.shiftleft(C("__hface").cast("long"), 56))
+        .bitwiseOR(F.shiftleft(C("__hq") + F.lit(_OFF), 28))
+        .bitwiseOR(C("__hr") + F.lit(_OFF))
+    )
+    # coalesce to a sentinel: (a) null coords -> -1, which matches no real
+    # cell in any equi-join (inner joins drop them, same as the UDF path's
+    # null); (b) the column becomes NON-NULLABLE, so joins on it generate
+    # no isnotnull predicate — Catalyst pushes such predicates below the
+    # staged projects by INLINING the whole expression tree into the
+    # filter, which re-created the 6x duplication blowup this staging
+    # exists to avoid (measured; see plan in EXPLAINS.md).
+    packed = F.coalesce(packed, F.lit(-1).cast("long"))
+    tmp = [col for col in s9.columns if col.startswith("__h")]
+    return s9.select("*", packed.alias(out_col)).drop(*tmp)
+
+
 def hex_cell_udf(res: int):
     if not 0 <= res <= 15:
         raise ValueError("res must be in [0, 15]")
@@ -172,8 +284,14 @@ def hex_cell_udf(res: int):
     return hex_cell
 
 
-def with_hex_cell(df, res: int, lat="lat", lon="lon", out_col=None):
+def with_hex_cell(df, res: int, lat="lat", lon="lon", out_col=None,
+                  native: bool = True):
+    """Adds the hex cell column.  native=True (default) uses the staged
+    column-expression path (whole-stage codegen, zero Python);
+    native=False keeps the Arrow pandas UDF (numpy) path — tested equal."""
     out_col = out_col or f"hex_r{res}"
+    if native:
+        return with_hex_cell_native(df, res, lat, lon, out_col)
     return df.withColumn(out_col, hex_cell_udf(res)(F.col(lat), F.col(lon)))
 
 

@@ -77,6 +77,38 @@ def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stateful_user_running_totals(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState (task
+    spec: 'applyInPandasWithState for custom stateful operators'): per-user
+    running event count + value total held in GroupState across
+    micro-batches; each batch a user appears in emits their updated running
+    row (update semantics).  State is two scalars per user — bounded, and
+    shuffled only on user_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Drive a bounded stream to completion synchronously; returns the

@@ -134,3 +134,28 @@ def test_spark_cell_udfs(spark, nodes):
     # arrow batch path, not row-wise python
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_hex_native_expression_matches_numpy(spark):
+    """hex_cell_col (pure column expressions, codegen path) must agree with
+    latlon_to_cell (numpy/Arrow path) — same constants, same half-even
+    rounding; ulp-level trig skew may flip only exact-boundary points, and
+    none exist on the 1e-5 grid or in this random sample."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-80, 80, n)
+    lon = rng.uniform(-179.9, 179.9, n)
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    for res in (7, 8, 10):
+        got = np.array(
+            hexgrid.with_hex_cell_native(df, res, out_col="c")
+            .select("c").toPandas()["c"],
+            dtype=np.int64,
+        )
+        exp = hexgrid.latlon_to_cell(lat, lon, res)
+        n_diff = int((got != exp).sum())
+        assert n_diff == 0, f"res {res}: {n_diff}/{n} cells differ"

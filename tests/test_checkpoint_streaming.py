@@ -92,3 +92,52 @@ def test_streaming_matches_batch(spark, mode):
     else:
         got = ev.run_to_memory(ev.deduped_stream(stream), "t_dedup").count()
         assert got == batch.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals_across_batches(tmp_path, spark):
+    """applyInPandasWithState custom operator: state must ACCUMULATE across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per chunk file);
+    the final running row per user equals the batch groupBy totals."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = src.filter(F.col("user_id") < 40).cache()
+    d = str(tmp_path / "chunks")
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = ev.run_to_memory(
+        ev.stateful_user_running_totals(stream),
+        "stateful_totals", output_mode="update",
+    )
+    # update mode emits one row per (user, batch-it-appeared-in); the max
+    # n_events per user is the final running state
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final == exp
+    # state really crossed batches: users present in both chunks must have
+    # TWO distinct emitted rows
+    both = (
+        batch.withColumn("p", F.col("event_id") % 2)
+        .groupBy("user_id").agg(F.countDistinct("p").alias("np"))
+        .filter(F.col("np") == 2).count()
+    )
+    assert both > 0
+    multi = (
+        out.groupBy("user_id").agg(F.countDistinct("n_events").alias("k"))
+        .filter(F.col("k") >= 2).count()
+    )
+    assert multi >= both

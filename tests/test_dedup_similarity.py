@@ -90,6 +90,25 @@ def test_short_docs_no_sentinel_bucket(spark):
     assert not any(a % 3 != 2 and a < 2000 for a, b in got_sh)
 
 
+def test_verified_near_dup_pipeline(texts, spark):
+    """LSH-candidates -> exact-Jaccard-verify composition: every returned
+    pair's jaccard must match a direct all-pairs computation, and no pair
+    below threshold may survive."""
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.verified_near_dup_pairs(texts, jaccard_threshold=0.5).collect()}
+    ex = dedup.ngram_jaccard_pairs(texts, F.lit(1), n=3)
+    truth = {(r["a"], r["b"]): r["inter_sz"] / max(r["union_sz"], 1)
+             for r in ex.collect()}
+    assert (0, 100) in got                      # exact dup pair survives
+    for pair, j in got.items():
+        assert abs(j - truth[pair]) < 1e-12     # exact, not estimated
+        assert j >= 0.5
+    # nothing >= threshold that LSH could see was missed among the same-base
+    # near-dups (identical-text pairs are plentiful in the fixture)
+    missed = {p for p, j in truth.items() if j >= 0.95} - set(got)
+    assert not missed
+
+
 def test_keep_list_deep_chain(spark):
     """60-node chain (diameter 59) converges within max_iter=20 thanks to
     pointer doubling; every node's keeper is the component min."""
