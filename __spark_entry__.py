@@ -542,6 +542,79 @@ _ANN_ORACLE = """
     ) t WHERE rank <= 5"""
 
 
+def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_centroids: bucketing must be lossless, so
+    the result equals exhaustive search — checked against the SAME
+    independent SQL oracle as ann_cosine_topk.  (Partial-probe recall is
+    pytest-gated; it is approximate by design.)"""
+    from osmspark.operators.similarity import ivf_topk, train_centroids
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = train_centroids(emb, n_centroids=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, centroids=cents, nprobe=8).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-blocked embedding near-dup pairs (golden regression
+    oracle; planted-dup recall is pytest-gated)."""
+    from osmspark.operators.similarity import embedding_near_dup_pairs
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.25, n_bits=6).select(
+        "a", "b", F.round("sim", 6).alias("sim")
+    )
+
+
+def _q_postcode_repair_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 repair path through the ENGINE (audit.repair_postcode +
+    postcode_class): half the rows get the reference's broken 'S <digits>'
+    form prepended, repair strips non-digits when 6 remain; oracle
+    reproduces the rule in SQL."""
+    from osmspark.operators import audit
+
+    d = _derived_df(spark, sf_dir).filter(F.col("pc").isNotNull())
+    broken = F.when(F.pmod(F.col("d"), F.lit(2)) == 0,
+                    F.concat(F.lit("S "), F.col("pc"))).otherwise(F.col("pc"))
+    return (
+        d.select(audit.repair_postcode(broken).alias("rp"))
+        .select(audit.postcode_class("rp").alias("pc_class"))
+        .groupBy("pc_class").agg(F.count("*").alias("cnt"))
+    )
+
+
+_POSTCODE_REPAIR_ORACLE = _DERIVED_SQL + """
+    , broken AS (
+      SELECT CASE WHEN (d % 2) = 0 THEN 'S ' || pc ELSE pc END AS x
+      FROM derived WHERE pc IS NOT NULL
+    ), repaired AS (
+      SELECT CASE WHEN regexp_extract(regexp_replace(x, '[^0-9]', '', 'g'),
+                                      '^[0-9]{6}$', 0) <> ''
+                  THEN regexp_replace(x, '[^0-9]', '', 'g')
+                  ELSE x END AS rp
+      FROM broken
+    )
+    SELECT CASE WHEN regexp_extract(rp, '^[0-8][0-9]{5}$', 0) <> ''
+                  THEN 'valid_sg'
+                WHEN regexp_extract(rp, '^[0-9]{5}$', 0) <> ''
+                  THEN 'out_of_area'
+                ELSE 'invalid' END AS pc_class,
+           count(*) AS cnt
+    FROM repaired GROUP BY 1"""
+
+
 # --- rows-only engine queries (no SQL equivalent; pytest is the gate) ------
 def _q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmspark.functions.hexgrid import with_hex_cell
@@ -805,6 +878,9 @@ _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "verified_near_dups": _q_verified_near_dups,
     "text_stats": _q_text_stats,
     "ann_cosine_topk": _q_ann_cosine,
+    "ivf_full_probe": _q_ivf_full_probe,
+    "embedding_near_dups": _q_embedding_near_dups,
+    "postcode_repair_engine": _q_postcode_repair_engine,
     "span_invariant": _q_span_invariant,
     "salted_group_counts": _q_salted_group,
     # rows-only (non-SQL-expressible; correctness gated in tests/)
@@ -834,6 +910,7 @@ GOLDEN_QUERIES = [
     "hex_cell_counts", "s2_cell_counts", "systematic_sample_hash",
     "doc_fingerprints", "minhash_near_dups", "simhash_near_dups",
     "minhash_keep_list", "media_features", "tile_render_raster",
+    "embedding_near_dups",
 ]
 _GOLDEN_ORACLES = {
     name: f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
@@ -856,6 +933,8 @@ _ENGINE_ORACLES: dict[str, str] = {
     "verified_near_dups": _VERIFIED_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "ann_cosine_topk": _ANN_ORACLE,
+    "ivf_full_probe": _ANN_ORACLE,
+    "postcode_repair_engine": _POSTCODE_REPAIR_ORACLE,
     "span_invariant": _SPAN_INVARIANT_ORACLE,
     "salted_group_counts": _SALTED_ORACLE,
     "knn_haversine": _KNN_HAVERSINE_ORACLE,
