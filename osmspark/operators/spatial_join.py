@@ -75,17 +75,25 @@ def _xyz_to_uv_on_face(f: int, x, y, z):
     return -y / z, -x / z
 
 
-def _cover_on_face(f: int, u, v, res: int) -> np.ndarray:
+def _cover_on_face(f: int, u, v, res: int):
     """Cover cells of ONE face for a ring projected to that face's uv plane:
     bbox cells whose center is inside the ring or within 1.1*circumradius of
     an edge, clipped to the face square (plus one cell of slack — only cells
-    some point can actually map to are useful join keys)."""
+    some point can actually map to are useful join keys).
+
+    Returns (cells, interior): interior marks cells whose center is inside
+    the ring AND > 2*circumradius from every edge — every point of such a
+    cell is inside the polygon (hex max center-to-point distance is one
+    circumradius; the second circumradius absorbs the tiny discrepancy
+    between uv-straight cover edges and latlon-straight refine edges).
+    Interior-cell candidates skip the ray-cast refine entirely."""
     radius = hexgrid._res_frame(res)[0]
     pad = 2.0 * radius
+    empty = np.zeros(0, dtype=np.int64)
     lo_u, hi_u = max(u.min(), -1.0 - pad), min(u.max(), 1.0 + pad)
     lo_v, hi_v = max(v.min(), -1.0 - pad), min(v.max(), 1.0 + pad)
     if lo_u > hi_u or lo_v > hi_v:
-        return np.zeros(0, dtype=np.int64)  # ring part misses this face
+        return empty, np.zeros(0, dtype=bool)  # ring part misses this face
     corners_u = np.array([lo_u, lo_u, hi_u, hi_u])
     corners_v = np.array([lo_v, hi_v, lo_v, hi_v])
     qf, rf = hexgrid._xy_to_axial(corners_u, corners_v, res)
@@ -105,14 +113,22 @@ def _cover_on_face(f: int, u, v, res: int) -> np.ndarray:
     ).min(axis=1)
     on_face = (np.abs(cx) <= 1.0 + pad) & (np.abs(cy) <= 1.0 + pad)
     keep = (inside | (d2 <= (1.1 * radius) ** 2)) & on_face
+    interior = (inside & (d2 > (2.0 * radius) ** 2))[keep]
     qq, rr = qq[keep], rr[keep]
-    return hexgrid.pack(np.full_like(qq, res), np.full_like(qq, f), qq, rr)
+    cells = hexgrid.pack(np.full_like(qq, res), np.full_like(qq, f), qq, rr)
+    return cells, interior
 
 
 def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarray:
+    """Cover cells only (compatibility wrapper over the flagged variant)."""
+    return _ring_cover_cells_flagged(lats, lons, res)[0]
+
+
+def _ring_cover_cells_flagged(lats: np.ndarray, lons: np.ndarray, res: int):
     """Near-minimal cover: bbox cells whose center is inside the ring or
     within 1.1*circumradius of an edge (superset guarantee: any point of the
     polygon lies in a cell whose center is <= circumradius away).
+    Returns (cells, interior_flags) — see _cover_on_face.
 
     Multi-face: the ring is re-projected onto EVERY cube face touched by a
     vertex or an edge midpoint, and per-face covers are unioned — points
@@ -140,17 +156,31 @@ def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarra
             )
         uf, vf = _xyz_to_uv_on_face(f, x, y, z)
         covers.append(_cover_on_face(f, uf, vf, res))
-    return np.unique(np.concatenate(covers))
+    cells = np.concatenate([c for c, _ in covers])
+    interior = np.concatenate([i for _, i in covers])
+    # dedupe across faces (a cell id is face-scoped, so dupes only arise
+    # from overlapping bbox slack) — keep the AND of interior flags
+    order = np.argsort(cells, kind="stable")
+    cells, interior = cells[order], interior[order]
+    uniq_mask = np.ones(len(cells), dtype=bool)
+    uniq_mask[1:] = cells[1:] != cells[:-1]
+    # a duplicated cell is interior only if every copy says so
+    grp = np.cumsum(uniq_mask) - 1
+    interior_and = np.ones(int(grp[-1]) + 1 if len(grp) else 0, dtype=bool)
+    np.logical_and.at(interior_and, grp, interior)
+    return cells[uniq_mask], interior_and
 
 
 def polygon_covers(polys_rows: list, res: int) -> list[tuple]:
-    """[(poly_id, cell), ...] computed driver-side from collected rows."""
+    """[(poly_id, cell, interior), ...] computed driver-side from collected
+    rows; interior cells need no ray-cast refine."""
     out = []
     for r in polys_rows:
         lats = np.array([p["lat"] for p in r["ring"]], dtype=np.float64)
         lons = np.array([p["lon"] for p in r["ring"]], dtype=np.float64)
-        for c in _ring_cover_cells(lats, lons, res):
-            out.append((r["poly_id"], int(c)))
+        cells, interior = _ring_cover_cells_flagged(lats, lons, res)
+        for c, i in zip(cells, interior):
+            out.append((r["poly_id"], int(c), bool(i)))
     return out
 
 
@@ -250,7 +280,9 @@ def spatial_join(
     attrs = [(r["poly_id"], r["level"], r["postcode"]) for r in prows]
     bc = spark.sparkContext.broadcast(rings_by_id)
 
-    cover_df = spark.createDataFrame(covers, "poly_id string, cell long")
+    cover_df = spark.createDataFrame(
+        covers, "poly_id string, cell long, interior boolean"
+    )
     attrs_df = spark.createDataFrame(
         attrs, "poly_id string, level string, postcode string"
     )
@@ -259,16 +291,28 @@ def spatial_join(
         attrs_df = F.broadcast(attrs_df)
 
     @F.pandas_udf(T.BooleanType())
-    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series) -> pd.Series:
-        return pd.Series(
-            _grouped_pip(plat.to_numpy(), plon.to_numpy(), pid.to_numpy(),
-                         bc.value)
-        )
+    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series,
+               interior: pd.Series) -> pd.Series:
+        # interior/boundary split: candidates whose cover cell is FULLY
+        # inside the polygon are in by construction — the ray-cast runs
+        # only on the boundary-cell subset of each Arrow batch (typically
+        # a perimeter-fraction of the candidates)
+        inter = interior.to_numpy()
+        out = inter.copy()
+        b = ~inter
+        if b.any():
+            out[b] = _grouped_pip(
+                plat.to_numpy()[b], plon.to_numpy()[b],
+                pid.to_numpy()[b], bc.value,
+            )
+        return pd.Series(out)
 
     pts = hexgrid.with_hex_cell(points, res, lat=lat, lon=lon, out_col="__cell")
     cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner")
-    refined = cand.filter(refine(F.col(lat), F.col(lon), F.col("poly_id")))
-    return refined.drop("__cell", "cell").join(attrs_df, "poly_id")
+    refined = cand.filter(
+        refine(F.col(lat), F.col(lon), F.col("poly_id"), F.col("interior"))
+    )
+    return refined.drop("__cell", "cell", "interior").join(attrs_df, "poly_id")
 
 
 # --- compatibility surface for tests / other callers -----------------------
