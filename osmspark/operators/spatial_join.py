@@ -262,11 +262,19 @@ def spatial_join(
     broadcast_polys: bool = True,
     lat: str = "lat",
     lon: str = "lon",
+    interior_shortcut: bool = False,
 ) -> DataFrame:
     """points x polygons -> point rows + (poly_id, level, postcode).
 
     Inner-join semantics (a point outside every polygon is dropped);
-    boundary points resolve by crossing-number convention."""
+    boundary points resolve by crossing-number convention.
+
+    interior_shortcut: skip the ray-cast for candidates whose cover cell is
+    fully interior to the polygon.  Off by default: A/B-measured NEUTRAL to
+    slightly negative on few-vertex polygons (Arrow transfer dominates; the
+    skipped ray-cast is cheap and the extra flag column + partial indexing
+    cost more).  Turn it ON for many-vertex polygons (admin boundaries with
+    10^2-10^4 edges), where per-candidate edge math dominates the refine."""
     spark = points.sparkSession
     prows = polys.select("poly_id", "level", "postcode", "ring").collect()
     covers = polygon_covers(prows, res)
@@ -291,8 +299,8 @@ def spatial_join(
         attrs_df = F.broadcast(attrs_df)
 
     @F.pandas_udf(T.BooleanType())
-    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series,
-               interior: pd.Series) -> pd.Series:
+    def refine_flagged(plat: pd.Series, plon: pd.Series, pid: pd.Series,
+                       interior: pd.Series) -> pd.Series:
         # interior/boundary split: candidates whose cover cell is FULLY
         # inside the polygon are in by construction — the ray-cast runs
         # only on the boundary-cell subset of each Arrow batch (typically
@@ -307,11 +315,24 @@ def spatial_join(
             )
         return pd.Series(out)
 
+    @F.pandas_udf(T.BooleanType())
+    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series) -> pd.Series:
+        return pd.Series(
+            _grouped_pip(plat.to_numpy(), plon.to_numpy(), pid.to_numpy(),
+                         bc.value)
+        )
+
     pts = hexgrid.with_hex_cell(points, res, lat=lat, lon=lon, out_col="__cell")
     cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner")
-    refined = cand.filter(
-        refine(F.col(lat), F.col(lon), F.col("poly_id"), F.col("interior"))
-    )
+    if interior_shortcut:
+        refined = cand.filter(
+            refine_flagged(F.col(lat), F.col(lon), F.col("poly_id"),
+                           F.col("interior"))
+        )
+    else:
+        refined = cand.filter(
+            refine(F.col(lat), F.col(lon), F.col("poly_id"))
+        )
     return refined.drop("__cell", "cell", "interior").join(attrs_df, "poly_id")
 
 

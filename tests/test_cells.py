@@ -159,3 +159,15 @@ def test_hex_native_expression_matches_numpy(spark):
         exp = hexgrid.latlon_to_cell(lat, lon, res)
         n_diff = int((got != exp).sum())
         assert n_diff == 0, f"res {res}: {n_diff}/{n} cells differ"
+
+
+def test_hex_native_null_coords_sentinel(spark):
+    """Null coords -> sentinel -1 (non-nullable output so joins on the
+    cell emit no isnotnull pushdown; -1 matches no real cell)."""
+    df = spark.createDataFrame(
+        [(None, None), (1.3, 103.8)], "lat double, lon double"
+    )
+    rows = hexgrid.with_hex_cell_native(df, 8, out_col="c").collect()
+    vals = sorted([r["c"] for r in rows])
+    assert vals[0] == -1 and vals[1] > 0
+    assert not hexgrid.with_hex_cell_native(df, 8, out_col="c").schema["c"].nullable

@@ -153,3 +153,14 @@ def test_multiface_cover_superset():
     slon = rng.uniform(44.0, 46.0, 500)
     cells = hexgrid.latlon_to_cell(slat, slon, 8)
     assert set(cells.tolist()) <= cover
+
+
+def test_interior_shortcut_equals_full_refine(nodes, polygons):
+    """interior_shortcut=True must be result-identical to the full ray-cast
+    path (the shortcut only skips work that is provably redundant)."""
+    pts = nodes.select("id", "lat", "lon")
+    a = {(r["id"], r["poly_id"]) for r in
+         sj.spatial_join(pts, polygons, res=7, interior_shortcut=True).collect()}
+    b = {(r["id"], r["poly_id"]) for r in
+         sj.spatial_join(pts, polygons, res=7, interior_shortcut=False).collect()}
+    assert a == b and len(a) > 100
