@@ -17,6 +17,7 @@ All math is numpy-vectorized; Spark surface = Arrow pandas UDFs.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -128,9 +129,6 @@ def parent_cell(cell, parent_res: int):
     approximate by construction): child center re-assigned at parent res."""
     lat, lon = cell_center_latlon(cell)
     return latlon_to_cell(lat, lon, parent_res)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)

@@ -137,6 +137,14 @@ def _ring_cover_cells_flagged(lats: np.ndarray, lons: np.ndarray, res: int):
     v1 raised ValueError here).  Polygons wider than a hemisphere (any
     vertex behind a touched face's plane) are rejected — an admin/ZIP dim
     never is."""
+    if lons.max() - lons.min() > 180.0:
+        # the latlon crossing-number refine treats edges as straight in
+        # lon — a ring written across the antimeridian would be silently
+        # wrong, so fail loudly (normalize/split the ring upstream)
+        raise ValueError(
+            "ring spans >180 deg of longitude (antimeridian-crossing "
+            "rings must be normalized or split before joining)"
+        )
     x, y, z = latlon_to_xyz(lats, lons)
     face, _, _ = xyz_to_face_uv(x, y, z)
     # faces touched by vertices + by edge midpoints (catches edges whose

@@ -164,3 +164,12 @@ def test_interior_shortcut_equals_full_refine(nodes, polygons):
     b = {(r["id"], r["poly_id"]) for r in
          sj.spatial_join(pts, polygons, res=7, interior_shortcut=False).collect()}
     assert a == b and len(a) > 100
+
+
+def test_antimeridian_ring_rejected():
+    """Rings written across the antimeridian would be silently wrong under
+    latlon crossing-number; the cover must refuse them loudly."""
+    lats = np.array([10.0, 10.0, 12.0, 12.0, 10.0])
+    lons = np.array([179.0, -179.0, -179.0, 179.0, 179.0])
+    with pytest.raises(ValueError, match="antimeridian"):
+        sj._ring_cover_cells(lats, lons, 7)
