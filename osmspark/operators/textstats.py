@@ -80,6 +80,54 @@ def text_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def curate(docs: DataFrame, min_quality: int = 30, langs=("en",),
+           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data curation composition: exact-dedup keepers INTERSECT
+    quality floor INTERSECT language allowlist — the minimal end-to-end
+    filter chain a corpus build runs before near-dup/ANN stages.  Each leg
+    is a shuffle on a digest or a map-side filter; fully SQL-expressible,
+    so the driver checks it against an independent oracle."""
+    from .dedup import exact_dedup
+
+    stats = text_stats(docs, text_col, id_col)
+    keepers = exact_dedup(docs, text_col, id_col).select(id_col)
+    return (
+        keepers.join(stats, id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_id").isin(list(langs))
+        )
+        .select(id_col, "n_tokens", "quality")
+    )
+
+
+def token_count_percentiles(docs: DataFrame, pcts=(50, 90, 99),
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """EXACT token-count percentiles (rank = ceil(n*p/100) under
+    (n_tokens, id) order) — oracle-reproducible.  The global window sort is
+    fine at driver-check scale; at 10^12 docs call approx_percentile
+    (percentile_approx) instead — same column, sketch-merged, no sort."""
+    from pyspark.sql import Window
+
+    stats = text_stats(docs, text_col, id_col).select(id_col, "n_tokens")
+    w = Window.orderBy(F.asc("n_tokens"), F.asc(id_col))
+    ranked = stats.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    parts = [
+        ranked.filter(
+            F.col("rn")
+            == F.ceil(F.col("n") * F.lit(p) / F.lit(100.0)).cast("long")
+        ).select(F.lit(p).alias("pct"), "n_tokens")
+        for p in pcts
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def fingerprint_udf(window: int = 8):
     """Winnowing-style document fingerprint: min rolling hash over `window`-
     token windows (robust to small edits) — Arrow pandas UDF."""

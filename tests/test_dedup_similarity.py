@@ -245,3 +245,30 @@ def test_multimodal_decode_stub_raises(docs):
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_curation_pipeline(texts):
+    """Curation = dedup keepers ∩ quality floor ∩ language allowlist."""
+    kept = {r["doc_id"]: r for r in
+            textstats.curate(texts, min_quality=30, langs=("en",)).collect()}
+    assert 100 not in kept          # exact dup of doc 0 -> dropped
+    assert 101 not in kept          # empty doc: quality 0 -> dropped
+    assert 0 in kept
+    stats = {r["doc_id"]: r for r in textstats.text_stats(texts).collect()}
+    for d, r in kept.items():
+        assert stats[d]["quality"] >= 30 and stats[d]["lang_id"] == "en"
+        assert r["n_tokens"] == stats[d]["n_tokens"]
+
+
+def test_token_count_percentiles(texts):
+    """Exact rank-based percentiles against a plain-Python computation."""
+    got = {r["pct"]: r["n_tokens"] for r in
+           textstats.token_count_percentiles(texts).collect()}
+    rows = sorted(
+        (r["n_tokens"], r["doc_id"])
+        for r in textstats.text_stats(texts).collect()
+    )
+    import math
+    n = len(rows)
+    for p in (50, 90, 99):
+        assert got[p] == rows[math.ceil(n * p / 100.0) - 1][0]
