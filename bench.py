@@ -153,17 +153,9 @@ def main() -> None:
     _, t_knn5k = timed(q_knn_5k)
     queries["knn_kring_5000q"] = round(t_knn5k, 3)
 
-    # Q5c: brute-force reference at 100 queries — per-query cost comparison
-    # (sf0.1 round-2 measurement: kring 1.9 ms/query vs brute ~690 ms/query)
-    from osmspark.operators.knn import knn_bruteforce
-
-    def q_knn_brute():
-        pts = nodes.select("id", "lat", "lon")
-        qs = pts.limit(100).select(F.col("id").alias("query_id"), "lat", "lon")
-        return knn_bruteforce(pts, qs, k=10).count()
-
-    _, t_knnbf = timed(q_knn_brute)
-    queries["knn_brute_100q"] = round(t_knnbf, 3)
+    # (The O(P*Q) brute-force kNN reference path is intentionally NOT part
+    # of the timed suite — measured separately at sf0.1: ~0.7-0.9 s/query
+    # vs ~2 ms/query for kring at 5000 queries; see BASELINE.md.)
 
     # Q6: TPC-H Q1 on the driver lineitem table (Tier-C breadth)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
