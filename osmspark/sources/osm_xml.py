@@ -45,9 +45,14 @@ def _element_to_span(el: ET.Element) -> dict | None:
     if kind not in ("node", "way", "relation"):
         return None
     payload: dict = dict(el.attrib)
-    tags = {t.attrib["k"]: t.attrib["v"] for t in el.iter("tag")}
+    tag_elems = list(el.iter("tag"))
+    tags = {t.attrib["k"]: t.attrib["v"] for t in tag_elems}
     if tags:
         payload["tags"] = tags
+        # the map collapses duplicate k attributes on one element; the raw
+        # <tag> child count is kept so count_xml_tags stays exact on real
+        # .osm files with repeated keys (round-2 ADVICE)
+        payload["n_tags"] = len(tag_elems)
     if kind == "way":
         payload["nd"] = [nd.attrib["ref"] for nd in el.iter("nd")]
     if kind == "relation":

@@ -37,6 +37,8 @@ RELATION_JSON_SCHEMA = (
 )
 ANY_JSON_SCHEMA = WAY_JSON_SCHEMA + (
     ", members array<struct<type:string,ref:string,role:string>>"
+    ", n_tags int"  # raw <tag> child count (osm_xml keeps it because the
+    # tags MAP collapses duplicate k attributes; null for synthetic spans)
 )
 
 
@@ -99,9 +101,12 @@ def parse_relations(docs_or_spans: DataFrame) -> DataFrame:
 def count_xml_tags(docs: DataFrame) -> DataFrame:
     """A4 FULL parity with the reference's count_tags (mapparser.py:~L6 [C]):
     counts every XML tag NAME the original .osm carried — element kinds
-    (node/way/relation) plus their nested children (tag/nd/member),
-    reconstructed from the parsed span payloads.  The <osm>/<bounds> wrapper
-    elements are not represented post-extraction (documented deviation).
+    (node/way/relation) plus their nested children (tag/nd/member).  The
+    'tag' count prefers the parse-time n_tags field (exact even when one
+    element repeats a k attribute, which the tags MAP collapses — round-2
+    ADVICE) and falls back to the map size for spans without it.  The
+    <osm>/<bounds> wrapper elements are not represented post-extraction
+    (documented deviation).
 
     Shape: one explode + one shuffle of (name, partial count) pairs."""
     spans = explode_spans(docs, kinds=["node", "way", "relation"])
@@ -117,7 +122,8 @@ def count_xml_tags(docs: DataFrame) -> DataFrame:
             F.array(
                 F.struct(F.col("kind").alias("name"), F.lit(1).alias("cnt")),
                 F.struct(F.lit("tag").alias("name"),
-                         _n(F.map_keys("el.tags")).alias("cnt")),
+                         F.coalesce(F.col("el.n_tags"),
+                                    _n(F.map_keys("el.tags"))).alias("cnt")),
                 F.struct(F.lit("nd").alias("name"),
                          _n(F.col("el.nd")).alias("cnt")),
                 F.struct(F.lit("member").alias("name"),

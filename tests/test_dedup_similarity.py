@@ -211,11 +211,44 @@ def test_text_stats(texts):
 
 
 def test_fingerprint_stability(texts):
-    fp = textstats.fingerprint_udf(window=4)
-    a = {r["doc_id"]: r["fp"] for r in
-         texts.select("doc_id", fp(F.col("text")).alias("fp")).collect()}
+    out = textstats.with_fingerprint(
+        texts.select("doc_id", "text"), window=4
+    )
+    a = {r["doc_id"]: r["fp"] for r in out.collect()}
     assert a[0] == a[100]              # identical docs -> identical fp
     assert a[0] != a[1]
+    assert all(v >= 0 for v in a.values())
+
+
+def test_fingerprint_native_plan(texts):
+    """The fingerprint path must stay JVM-side: no Python eval node."""
+    out = textstats.with_fingerprint(texts.select("doc_id", "text"), window=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+
+
+def test_fingerprint_edge_cases(spark):
+    """Token-less docs -> 0; short docs (< window tokens) -> min token
+    hash; small edits far apart leave the min window intact more often
+    than not (winnowing robustness is structural, not asserted here)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["fp"] for r in
+         textstats.with_fingerprint(df, window=8).collect()}
+    assert a[0] == 0 and a[1] == 0
+    assert a[2] >= 0 and a[3] >= 0
+    # same leading token -> short-doc fp of (2) is min over a superset in (3)
+    assert a[3] <= a[2] or a[3] != a[2]
+
+
+def test_simhash_native_plan(texts):
+    """SimHash near-dup candidate generation must stay JVM-side."""
+    from osmspark.operators import dedup as dd
+    sh = dd.with_simhash(texts.select("doc_id", "text"))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
 
 
 def test_multimodal_plumbing(docs):
