@@ -7,6 +7,19 @@ Headline = the north-star pipeline (BASELINE.json:metric): interleaved
 documents -> span extraction -> hex cell assignment -> two-phase PIP join ->
 tile assignment, reported as docs/sec.
 
+Noise protocol (round-3; this VM shows hypervisor steal spikes and 3-13x
+first-run JIT penalties): every hot path is warmed once unmeasured, then
+the WHOLE suite runs N_TRIALS times interleaved; `queries` reports the
+per-query BEST (calm-window estimate), and the artifact itself carries the
+full per-trial times and the per-trial host steal%% (`trials`, `steal_pct`,
+`queries_median`) so a recorded number can be audited against the narrative
+without a re-run (round-2 VERDICT item: the committed artifact must agree
+with BASELINE.md within stated noise bounds).
+
+`queries_extra` holds non-comparable scale-evidence entries (run once,
+excluded from `value`): the 100k-query kNN — the round-3 distributed
+candidate-generation path with no driver query cap.
+
 The spans input is generated Spark-side (osmspark.datagen — deterministic,
 distributed, no Python per row) and cached as parquet under /tmp keyed by
 doc count, so repeated runs measure the engine, not the generator.
@@ -16,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 N_DOCS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 CACHE_ROOT = "/tmp/osmspark-bench"
+N_TRIALS = int(os.environ.get("OSMSPARK_BENCH_TRIALS", "3"))
 
 
 def ensure_docs(spark, n_docs: int) -> str:
@@ -38,10 +53,24 @@ def ensure_docs(spark, n_docs: int) -> str:
     return path
 
 
+def _read_steal():
+    """(steal_jiffies, total_jiffies) from /proc/stat — host noise audit."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
+    except Exception:
+        return 0, 1
+
+
 def timed(fn):
+    s0, j0 = _read_steal()
     t0 = time.time()
     out = fn()
-    return out, time.time() - t0
+    dt = time.time() - t0
+    s1, j1 = _read_steal()
+    steal_pct = round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2)
+    return out, round(dt, 3), steal_pct
 
 
 def main() -> None:
@@ -56,6 +85,7 @@ def main() -> None:
     from osmspark.operators.knn import knn_kring
     from osmspark.operators.spatial_join import spatial_join
     from osmspark.operators.tiles import render_density_tiles, tile_counts
+    from osmspark.plans.checkpoint import SnapshotStore
     from osmspark.session import build_session
     from osmspark.sources import parse_nodes
 
@@ -63,8 +93,6 @@ def main() -> None:
     docs_path = ensure_docs(spark, n_docs)
     docs = spark.read.parquet(docs_path)
     polys = gen_polygons(spark)
-
-    queries: dict[str, float] = {}
 
     # JIT/Arrow/parquet warm-up, unmeasured: this VM shows 3-13x first-run
     # JIT penalties even on trivial JVM jobs, so exercise every hot path
@@ -78,86 +106,61 @@ def main() -> None:
     tile_counts(warm_nodes.select("lat", "lon"), zoom=12).count()
     render_density_tiles(warm_nodes.select("lat", "lon"), zoom=12, px=64).count()
     with_hex_cell(warm_nodes.select("lat", "lon"), 9).count()
+    qs_warm = warm_nodes.limit(50).select(
+        F.col("id").alias("query_id"), "lat", "lon")
+    knn_kring(warm_nodes, qs_warm, k=10, res=8).count()
     warm_nodes.unpersist()
 
     # Stage 1 (E2' in SURVEY §3.2): extract once -> columnar snapshot.
     # At 100 TB you never re-parse interleaved payloads per query; the
     # shaped nodes table is materialized (B8 snapshot) and every
     # downstream query reads pruned parquet columns.
-    from osmspark.plans.checkpoint import SnapshotStore
-
     store = SnapshotStore(f"{CACHE_ROOT}/stages_{n_docs}_{cpus}")
 
-    def q_extract():
+    def _extract_to(stage: str):
         nodes = parse_nodes(docs).select(
             "id", "lat", "lon", F.col("tags")["addr:street"].alias("street")
         )
-        return store.save(nodes, "nodes", inputs=[docs_path])["n_rows"]
+        return store.save(nodes, stage, inputs=[docs_path])["n_rows"]
 
-    n_nodes, t_extract = timed(q_extract)
-    queries["span_extract_snapshot"] = round(t_extract, 3)
+    def q_extract():
+        # timed trials write a SCRATCH stage: overwriting the stage that
+        # downstream queries read mid-suite would delete files under them
+        return _extract_to("nodes_timed")
+
+    # establish the stable snapshot once; downstream queries read this
+    _extract_to("nodes")
     nodes = store.load(spark, "nodes")
 
-    # Q1 headline: cell assign -> broadcast cover join -> ray-cast refine
     def q_spatial():
         joined = spatial_join(nodes.select("id", "lat", "lon"), polys, res=8)
         return joined.groupBy("level").agg(F.count("*").alias("cnt")).collect()
 
-    _, t_spatial = timed(q_spatial)
-    queries["spatial_pip_join"] = round(t_spatial, 3)
-
-    # Q2: tile assignment + density raster (z12, 64px)
     def q_tiles():
         pts = nodes.select("lat", "lon")
         tc = tile_counts(pts, zoom=12)
         rr = render_density_tiles(pts, zoom=12, px=64)
         return tc.count() + rr.count()
 
-    _, t_tiles = timed(q_tiles)
-    queries["tile_render"] = round(t_tiles, 3)
-
-    # Q3: hex cell assignment alone (the UDF hot path)
     def q_cells():
         return with_hex_cell(nodes.select("lat", "lon"), 9).agg(
             F.countDistinct("hex_r9")
         ).collect()
 
-    _, t_cells = timed(q_cells)
-    queries["hex_cell_assign"] = round(t_cells, 3)
-
-    # Q4: flagship audit (street normalization counts)
     def q_audit():
         streets = nodes.select("street").filter(F.col("street").isNotNull())
         return audit.normalized_street_counts(streets).collect()
 
-    _, t_audit = timed(q_audit)
-    queries["audit_normalize"] = round(t_audit, 3)
-
-    # Q5: kNN, 50 queries k=10 over extracted points
     def q_knn():
         pts = nodes.select("id", "lat", "lon")
         qs = pts.limit(50).select(F.col("id").alias("query_id"), "lat", "lon")
         return knn_kring(pts, qs, k=10, res=8).count()
 
-    _, t_knn = timed(q_knn)
-    queries["knn_kring_50q"] = round(t_knn, 3)
-
-    # Q5b: kNN at 5000 queries — exercises the round-2 distributed result
-    # path (per-round stats are the only driver collect); brute force at
-    # this query count would be a 5000 x |points| crossJoin
     def q_knn_5k():
         pts = nodes.select("id", "lat", "lon")
         qs = pts.limit(5000).select(F.col("id").alias("query_id"), "lat", "lon")
         return knn_kring(pts, qs, k=10, res=8).count()
 
-    _, t_knn5k = timed(q_knn_5k)
-    queries["knn_kring_5000q"] = round(t_knn5k, 3)
-
-    # (The O(P*Q) brute-force kNN reference path is intentionally NOT part
-    # of the timed suite — measured separately at sf0.1: ~0.7-0.9 s/query
-    # vs ~2 ms/query for kring at 5000 queries; see BASELINE.md.)
-
-    # Q6: TPC-H Q1 on the driver lineitem table (Tier-C breadth)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     def q_tpch():
@@ -171,11 +174,48 @@ def main() -> None:
             .collect()
         )
 
-    _, t_tpch = timed(q_tpch)
-    queries["tpch_q1"] = round(t_tpch, 3)
+    suite = [
+        ("span_extract_snapshot", q_extract),
+        ("spatial_pip_join", q_spatial),
+        ("tile_render", q_tiles),
+        ("hex_cell_assign", q_cells),
+        ("audit_normalize", q_audit),
+        ("knn_kring_50q", q_knn),
+        ("knn_kring_5000q", q_knn_5k),
+        ("tpch_q1", q_tpch),
+    ]
+    trials: dict[str, list[float]] = {name: [] for name, _ in suite}
+    steals: dict[str, list[float]] = {name: [] for name, _ in suite}
+    for _ in range(N_TRIALS):
+        for name, fn in suite:
+            _, dt, sp = timed(fn)
+            trials[name].append(dt)
+            steals[name].append(sp)
+    queries = {name: min(ts) for name, ts in trials.items()}
+    queries_median = {name: round(statistics.median(ts), 3)
+                      for name, ts in trials.items()}
+
+    # (The O(P*Q) brute-force kNN reference path is intentionally NOT part
+    # of the timed suite — measured separately at sf0.1: ~0.7-0.9 s/query
+    # vs ~2 ms/query for kring at 5000 queries; see BASELINE.md.)
+
+    # scale evidence, run once, excluded from `value` (not comparable to
+    # earlier rounds): 100k kNN queries through the fully-distributed
+    # candidate path (no driver collect of query/cell sets, no query cap)
+    def q_knn_100k():
+        pts = nodes.select("id", "lat", "lon")
+        qs = pts.limit(100_000).select(
+            F.col("id").alias("query_id"), "lat", "lon")
+        return knn_kring(pts, qs, k=10, res=8).count()
+
+    _, t_100k, s_100k = timed(q_knn_100k)
+    extras = {"knn_kring_100kq": t_100k}
+    extra_steals = {"knn_kring_100kq": s_100k}
 
     total = round(sum(queries.values()), 3)
-    docs_per_sec = round(n_docs / (t_extract + t_spatial), 1)
+    docs_per_sec = round(
+        n_docs / (queries["span_extract_snapshot"]
+                  + queries["spatial_pip_join"]), 1)
     print(
         json.dumps(
             {
@@ -183,6 +223,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_median": queries_median,
+                "trials": trials,
+                "steal_pct": steals,
+                "queries_extra": extras,
+                "extra_steal_pct": extra_steals,
+                "protocol": f"interleaved best-of-{N_TRIALS}, warmed, "
+                            "per-trial host steal% recorded",
                 "sf": sf,
                 "n_docs": n_docs,
                 "cpus": cpus,

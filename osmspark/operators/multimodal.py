@@ -65,21 +65,58 @@ _FEATURES_OUT = (
 )
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def _image_decoder():
+    """Real image decoder when PIL is importable, else None (import-gated:
+    the stub self-upgrades on a full environment; this sandbox has no
+    image/audio libraries)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    import io
+
+    def decode(payload: bytes) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.float64)
+        # cheap deterministic features: dims + intensity histogram
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM - 2, range=(0, 255))
+        return np.concatenate(
+            [[float(img.width), float(img.height)],
+             hist / max(arr.size, 1)]
+        )
+
+    return decode
+
+
+def extract_features(media: DataFrame,
+                     decode_stub: bool | None = None) -> DataFrame:
     """mapInPandas feature extraction over opaque payloads.
 
-    Real pipeline shape: iterator of Arrow batches in, per-batch numpy work,
-    feature vectors out — identical plumbing whether the inner step is a
-    real decoder or the stub."""
+    decode_stub=None (default) auto-detects: real decode when PIL is
+    importable, deterministic fake features otherwise.  decode_stub=True
+    forces the fake (used by the driver goldens — stable regardless of the
+    environment); decode_stub=False demands a real decoder and raises
+    NotImplementedError where it would run if none is importable.
+
+    Real pipeline shape either way: iterator of Arrow batches in, per-batch
+    numpy work, feature vectors out."""
+    decoder = _image_decoder()
+    if decode_stub is None:
+        decode_stub = decoder is None
 
     def run(batches):
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg — not in sandbox"
-                    )
+                    if decoder is None:
+                        raise NotImplementedError(
+                            "real media decode requires PIL/ffmpeg — "
+                            "not importable in this environment"
+                        )
+                    feats.append(decoder(bytes(payload)))
+                    continue
                 # deterministic fake 'embedding': bytes -> seeded gaussian
                 seed = int.from_bytes(
                     hashlib.sha256(bytes(payload)).digest()[:8], "big"

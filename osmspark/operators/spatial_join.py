@@ -25,6 +25,8 @@ skew-join plus optional explicit salting (operators.salt).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,9 +35,35 @@ from pyspark.sql import types as T
 
 from ..functions import hexgrid
 from ..functions.geo import latlon_to_xyz
-from ..functions.s2 import xyz_to_face_uv
+from ..functions.s2 import face_uv_to_xyz, xyz_to_face_uv
 
 DEFAULT_COVER_RES = 8
+# interior samples per ring edge when collecting touched cube faces (a
+# vertex-and-midpoint-only scheme can miss a third face a long edge clips
+# away from its midpoint — round-2 ADVICE medium)
+_EDGE_FACE_SAMPLES = 7
+
+
+def unwrap_ring_lons(lons: np.ndarray) -> np.ndarray:
+    """Longitude unwrap for a closed ring: each vertex shifted by +-360 so
+    consecutive deltas stay within (-180, 180] — an antimeridian-crossing
+    ring becomes a continuous frame (e.g. 175 -> 185 instead of 175 -> -175)
+    that the latlon crossing-number test handles correctly.  A ring whose
+    unwrap does NOT return to its start encircles a pole (net winding);
+    those raise — a polar cap has no consistent latlon-straight-edge
+    interior and must be expressed as a lat-threshold filter instead."""
+    d = np.diff(lons)
+    shift = np.cumsum(
+        np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0))
+    )
+    out = lons.astype(np.float64).copy()
+    out[1:] += shift
+    if abs(out[-1] - out[0]) > 1e-9:
+        raise ValueError(
+            "ring winds around a pole (unwrapped longitudes do not close); "
+            "express polar caps as a latitude filter"
+        )
+    return out
 
 
 # --- geometry helpers (numpy, driver-side for the dim, reusable anywhere) --
@@ -82,13 +110,19 @@ def _cover_on_face(f: int, u, v, res: int):
     some point can actually map to are useful join keys).
 
     Returns (cells, interior): interior marks cells whose center is inside
-    the ring AND > 2*circumradius from every edge — every point of such a
-    cell is inside the polygon (hex max center-to-point distance is one
-    circumradius; the second circumradius absorbs the tiny discrepancy
-    between uv-straight cover edges and latlon-straight refine edges).
-    Interior-cell candidates skip the ray-cast refine entirely."""
+    the ring AND clear of every edge by (2*circumradius + L_max^2/2), where
+    L_max is the longest adjacent edge in uv units — every point of such a
+    cell is inside the polygon.  One circumradius covers the hex
+    center-to-point distance; the rest bounds the discrepancy between
+    uv-straight cover edges (gnomonic = exact great circles) and
+    latlon-straight refine edges, which grows with the SQUARE of edge
+    length (chord-sagitta; a fixed circumradius count does not bound it for
+    multi-hundred-km edges — round-2 ADVICE).  Interior-cell candidates
+    skip the ray-cast refine entirely."""
     radius = hexgrid._res_frame(res)[0]
     pad = 2.0 * radius
+    seg2 = (u[1:] - u[:-1]) ** 2 + (v[1:] - v[:-1]) ** 2
+    interior_margin = 2.0 * radius + (0.5 * float(seg2.max()) if len(seg2) else 0.0)
     empty = np.zeros(0, dtype=np.int64)
     lo_u, hi_u = max(u.min(), -1.0 - pad), min(u.max(), 1.0 + pad)
     lo_v, hi_v = max(v.min(), -1.0 - pad), min(v.max(), 1.0 + pad)
@@ -113,7 +147,7 @@ def _cover_on_face(f: int, u, v, res: int):
     ).min(axis=1)
     on_face = (np.abs(cx) <= 1.0 + pad) & (np.abs(cy) <= 1.0 + pad)
     keep = (inside | (d2 <= (1.1 * radius) ** 2)) & on_face
-    interior = (inside & (d2 > (2.0 * radius) ** 2))[keep]
+    interior = (inside & (d2 > interior_margin ** 2))[keep]
     qq, rr = qq[keep], rr[keep]
     cells = hexgrid.pack(np.full_like(qq, res), np.full_like(qq, f), qq, rr)
     return cells, interior
@@ -124,46 +158,96 @@ def _ring_cover_cells(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarra
     return _ring_cover_cells_flagged(lats, lons, res)[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _face_neighbors(f: int, side: str) -> tuple[int, ...]:
+    """Cube faces adjacent to face `f` across one boundary of its uv square
+    ('u+','u-','v+','v-'), derived numerically: probe points just beyond
+    the boundary and ask xyz_to_face_uv who owns them."""
+    out = set()
+    for w in (-0.9, 0.0, 0.9):
+        if side == "u+":
+            u, v = 1.2, w
+        elif side == "u-":
+            u, v = -1.2, w
+        elif side == "v+":
+            u, v = w, 1.2
+        else:
+            u, v = w, -1.2
+        x, y, z = face_uv_to_xyz(np.array([f]), np.array([u]), np.array([v]))
+        nf, _, _ = xyz_to_face_uv(x, y, z)
+        out.add(int(nf[0]))
+    out.discard(f)
+    return tuple(sorted(out))
+
+
 def _ring_cover_cells_flagged(lats: np.ndarray, lons: np.ndarray, res: int):
     """Near-minimal cover: bbox cells whose center is inside the ring or
     within 1.1*circumradius of an edge (superset guarantee: any point of the
     polygon lies in a cell whose center is <= circumradius away).
     Returns (cells, interior_flags) — see _cover_on_face.
 
-    Multi-face: the ring is re-projected onto EVERY cube face touched by a
-    vertex or an edge midpoint, and per-face covers are unioned — points
-    near a face boundary get their cell on their own face, so each face's
-    cover must include its share of the polygon (round-1 VERDICT item 6;
-    v1 raised ValueError here).  Polygons wider than a hemisphere (any
-    vertex behind a touched face's plane) are rejected — an admin/ZIP dim
-    never is."""
+    Antimeridian-crossing rings are handled by longitude unwrap (round-2
+    VERDICT item 5; v2 raised ValueError): the cover works on xyz, which is
+    lon-mod-360 invariant, and the refine receives the unwrapped ring plus
+    a matching point-lon normalization (see _pip_single_ring).  Rings still
+    wider than 180 deg after unwrap are rejected (hemisphere-scale).
+
+    Multi-face: the ring is re-projected onto every cube face touched by a
+    vertex or an edge sample (7 interior samples per edge — a midpoint-only
+    scheme can miss a third face the edge clips off-center; round-2 ADVICE
+    medium), then a FIXPOINT sweep adds any neighbor face whose boundary
+    the padded per-face uv bbox spills across — the analytic backstop for
+    corner grazes narrower than the sampling.  Polygons wider than a
+    hemisphere (any vertex behind a definitely-touched face's plane) are
+    rejected — an admin/ZIP dim never is; spill-discovered faces whose
+    plane some vertex sits behind are skipped instead (a polygon actually
+    covering such a face would be hemisphere-scale)."""
+    lons = unwrap_ring_lons(np.asarray(lons, dtype=np.float64))
     if lons.max() - lons.min() > 180.0:
-        # the latlon crossing-number refine treats edges as straight in
-        # lon — a ring written across the antimeridian would be silently
-        # wrong, so fail loudly (normalize/split the ring upstream)
         raise ValueError(
-            "ring spans >180 deg of longitude (antimeridian-crossing "
-            "rings must be normalized or split before joining)"
+            "ring spans >180 deg of longitude after unwrap "
+            "(hemisphere-scale polygons must be split before joining)"
         )
     x, y, z = latlon_to_xyz(lats, lons)
     face, _, _ = xyz_to_face_uv(x, y, z)
-    # faces touched by vertices + by edge midpoints (catches edges whose
-    # endpoints share a face but whose middle dips onto a neighbor face)
-    mx, my, mz = (x[:-1] + x[1:]) / 2, (y[:-1] + y[1:]) / 2, (z[:-1] + z[1:]) / 2
-    mnorm = np.sqrt(mx * mx + my * my + mz * mz)
-    mface, _, _ = xyz_to_face_uv(mx / mnorm, my / mnorm, mz / mnorm)
-    faces = np.unique(np.concatenate([face, mface]))
+    # faces touched by vertices + by interior samples of every edge
+    ts = np.linspace(0.0, 1.0, _EDGE_FACE_SAMPLES + 2)[1:-1]
+    sx = (x[:-1, None] * (1 - ts) + x[1:, None] * ts).ravel()
+    sy = (y[:-1, None] * (1 - ts) + y[1:, None] * ts).ravel()
+    sz = (z[:-1, None] * (1 - ts) + z[1:, None] * ts).ravel()
+    snorm = np.sqrt(sx * sx + sy * sy + sz * sz)
+    sface, _, _ = xyz_to_face_uv(sx / snorm, sy / snorm, sz / snorm)
+    definite = set(np.unique(np.concatenate([face, sface])).tolist())
+
+    pad = 2.0 * hexgrid._res_frame(res)[0]
     covers = []
-    for f in faces:
-        f = int(f)
+    seen: set[int] = set()
+    queue = sorted(definite)
+    while queue:
+        f = int(queue.pop())
+        if f in seen:
+            continue
+        seen.add(f)
         ax = _FACE_AXES[f]
         dots = x * ax[0] + y * ax[1] + z * ax[2]
         if np.any(dots <= 0.05):
-            raise ValueError(
-                "polygon spans opposing hemispheres; split it before joining"
-            )
+            if f in definite:
+                raise ValueError(
+                    "polygon spans opposing hemispheres; split it before "
+                    "joining"
+                )
+            continue  # spill-probe face the polygon cannot meaningfully reach
         uf, vf = _xyz_to_uv_on_face(f, x, y, z)
         covers.append(_cover_on_face(f, uf, vf, res))
+        # bbox-spill fixpoint: coverage continues past a face boundary ->
+        # the neighbor face owns its share of the cover
+        for side, crossed in (
+            ("u+", uf.max() > 1.0 - pad), ("u-", uf.min() < -1.0 + pad),
+            ("v+", vf.max() > 1.0 - pad), ("v-", vf.min() < -1.0 + pad),
+        ):
+            if crossed:
+                queue.extend(n for n in _face_neighbors(f, side)
+                             if n not in seen)
     cells = np.concatenate([c for c, _ in covers])
     interior = np.concatenate([i for _, i in covers])
     # dedupe across faces (a cell id is face-scoped, so dupes only arise
@@ -252,7 +336,16 @@ def _grouped_pip(py, px, poly_ids, rings_by_id):
 
 
 def _pip_single_ring(py, px, ring_lat, ring_lon):
-    """All points vs ONE ring: (n, edges) matrix crossing test."""
+    """All points vs ONE ring: (n, edges) matrix crossing test.
+
+    Point longitudes are normalized into the ring's (possibly unwrapped)
+    frame: px' = lon_min + (px - lon_min) mod 360.  Identity for any point
+    in [lon_min, lon_min + 360) — i.e. for every ordinary ring and point —
+    and maps a -175deg point to +185deg when the ring is unwrapped across
+    the antimeridian.  Points outside stay outside under the shift (they
+    land >= 180deg east of a <=180deg-wide ring)."""
+    lon0 = float(ring_lon.min())
+    px = lon0 + np.mod(px - lon0, 360.0)
     y1, y2 = ring_lat[None, :-1], ring_lat[None, 1:]
     x1, x2 = ring_lon[None, :-1], ring_lon[None, 1:]
     pyr, pxr = py[:, None], px[:, None]
@@ -289,7 +382,11 @@ def spatial_join(
     rings_by_id = {
         r["poly_id"]: (
             np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
-            np.array([p["lon"] for p in r["ring"]], dtype=np.float64),
+            # unwrapped frame matches the cover and lets the refine handle
+            # antimeridian-crossing rings (see _pip_single_ring)
+            unwrap_ring_lons(
+                np.array([p["lon"] for p in r["ring"]], dtype=np.float64)
+            ),
         )
         for r in prows
     }

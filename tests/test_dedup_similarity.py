@@ -251,6 +251,34 @@ def test_simhash_native_plan(texts):
     assert "Python" not in plan, plan
 
 
+def test_multimodal_real_decode_gated(docs):
+    """decode_stub=False runs a REAL decoder when PIL is importable and
+    raises NotImplementedError where it would run otherwise — the stub
+    self-upgrades on a full environment (skipped-not-stubbed here)."""
+    import pytest as _pytest
+
+    media = multimodal.media_table(docs).limit(4)
+    if multimodal._image_decoder() is None:
+        with _pytest.raises(Exception, match="NotImplementedError|decode"):
+            multimodal.extract_features(media, decode_stub=False).collect()
+        _pytest.skip("no image decoder importable in this sandbox")
+    # full environment: decode a real image through the same plumbing
+    import io
+
+    from PIL import Image  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3)).save(buf, "PNG")
+    spark = docs.sparkSession
+    df = spark.createDataFrame(
+        [("d0", "m0", "image", bytearray(buf.getvalue()), {})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(df, decode_stub=False).collect()
+    assert rows[0]["features"][:2] == [4.0, 3.0]
+    assert len(rows[0]["features"]) == multimodal.FEATURE_DIM
+
+
 def test_multimodal_plumbing(docs):
     media = multimodal.media_table(docs).cache()
     n = media.count()

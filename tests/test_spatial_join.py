@@ -166,10 +166,70 @@ def test_interior_shortcut_equals_full_refine(nodes, polygons):
     assert a == b and len(a) > 100
 
 
-def test_antimeridian_ring_rejected():
-    """Rings written across the antimeridian would be silently wrong under
-    latlon crossing-number; the cover must refuse them loudly."""
+def test_antimeridian_join_equals_shifted_frame(spark):
+    """A ring crossing +-180 must join identically to the same geometry
+    expressed in a shifted frame where nothing crosses (round-2 VERDICT:
+    v2 rejected these; a global admin dim has rings at the antimeridian)."""
+    ring = [(10.0, 179.0), (10.0, -179.0), (12.0, -179.0), (12.0, 179.0),
+            (10.0, 179.0)]
+    polys = spark.createDataFrame(
+        [("am", "test", [{"lat": a, "lon": o} for a, o in ring], None)],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    rng = np.random.default_rng(7)
+    plat = rng.uniform(9.0, 13.0, 2000)
+    # lons straddling the antimeridian on both sides
+    plon_u = rng.uniform(177.5, 182.5, 2000)
+    plon = np.where(plon_u > 180.0, plon_u - 360.0, plon_u)
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    got = {r["id"] for r in sj.spatial_join(pts, polys, res=7).collect()}
+    # expected: shift the whole frame by -90deg so nothing crosses
+    def shift(lo):
+        s = lo - 90.0
+        return s + 360.0 if s < -180.0 else s
+    ring_s = [(la, shift(lo if lo > 0 else lo + 360.0)) for la, lo in ring]
+    exp = {str(i) for i in range(len(plat))
+           if _pip_py(plat[i], shift(plon_u[i]), ring_s)}
+    assert got == exp
+    # points on BOTH sides of the antimeridian must be present
+    assert any(plon[int(i)] > 0 for i in got)
+    assert any(plon[int(i)] < 0 for i in got)
+    assert len(exp) > 300
+
+
+def test_antimeridian_cover_superset():
+    """Interior samples of an antimeridian-crossing ring land in its cover."""
+    from osmspark.functions import hexgrid
+
     lats = np.array([10.0, 10.0, 12.0, 12.0, 10.0])
     lons = np.array([179.0, -179.0, -179.0, 179.0, 179.0])
-    with pytest.raises(ValueError, match="antimeridian"):
-        sj._ring_cover_cells(lats, lons, 7)
+    cover = set(sj._ring_cover_cells(lats, lons, 7).tolist())
+    rng = np.random.default_rng(5)
+    slat = rng.uniform(10.0, 12.0, 500)
+    slon_u = rng.uniform(179.0, 181.0, 500)
+    slon = np.where(slon_u > 180.0, slon_u - 360.0, slon_u)
+    cells = hexgrid.latlon_to_cell(slat, slon, 7)
+    assert set(cells.tolist()) <= cover
+
+
+def test_polar_winding_ring_rejected():
+    """A ring encircling a pole (longitudes wind a full 360) has no
+    latlon-straight-edge interior; it must be refused loudly."""
+    lons = np.arange(-180.0, 181.0, 60.0)  # -180..180, winds once
+    lats = np.full_like(lons, 80.0)
+    lats[-1] = lats[0]
+    with pytest.raises(ValueError, match="pole"):
+        sj._ring_cover_cells(lats, lons, 5)
+
+
+def test_hemisphere_ring_still_rejected():
+    """Hemisphere-scale rings (wider than 180 deg even after unwrap) are
+    still a loud failure, not silent wrong answers."""
+    lats = np.array([0.0, 0.0, 20.0, 20.0, 0.0])
+    lons = np.array([-100.0, 100.0, 100.0, -100.0, -100.0])
+    with pytest.raises(ValueError, match="hemisphere|opposing"):
+        sj._ring_cover_cells(lats, lons, 5)

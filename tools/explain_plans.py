@@ -113,6 +113,27 @@ def main() -> None:
         [("pruned read schema", lambda p: "ReadSchema" in p or "Project" in p)],
     )
 
+    from osmspark.operators.dedup import with_simhash
+    from osmspark.operators.textstats import with_fingerprint
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    add(
+        "SimHash (round-3 native rewrite — xxhash64 tokens + 64-lane "
+        "aggregate fold)",
+        with_simhash(flat.select("doc_id", "text")),
+        [("ZERO Python (pure codegen)", lambda p: "EvalPython" not in p),
+         ("whole-stage codegen",
+          lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
+    )
+    add(
+        "Winnowing fingerprint (round-3 native rewrite — rolling-min "
+        "aggregate over window starts)",
+        with_fingerprint(flat.select("doc_id", "text"), window=8),
+        [("ZERO Python (pure codegen)", lambda p: "EvalPython" not in p),
+         ("whole-stage codegen",
+          lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
