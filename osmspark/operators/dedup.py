@@ -12,7 +12,9 @@ Scale design:
     banding -> groupBy (band_id, band_hash) -> candidate pairs only within
     buckets.  The pairwise O(n^2) step exists only inside an LSH bucket.
   * SimHash: 64-bit fingerprint; near-dup = hamming distance <= t, banded
-    into 4x16-bit blocks for candidate generation.
+    into 4x16-bit blocks for candidate generation.  PURE NATIVE as of
+    round 3 (xxhash64 token hashes + a 64-lane aggregate vote fold —
+    zero Python, same cost shape as the MinHash fold).
   * n-gram Jaccard: exact verification metric for candidate pairs (native
     array_intersect/array_union — JVM-side).
 """
