@@ -25,6 +25,20 @@ def test_knn_kring_equals_bruteforce(nodes, queries):
     assert len(bf) == 50
 
 
+def test_knn_auto_dispatch(nodes, queries):
+    """knn_auto must return identical results on BOTH sides of its cost
+    threshold (brute below, k-ring above) — the dispatch is a pure
+    physical-path choice, never a semantic one."""
+    pts = nodes.select("id", "lat", "lon")
+    lo = {(r["query_id"], r["rank"]): r["point_id"]
+          for r in knn.knn_auto(pts, queries, k=10,
+                                brute_cost_cap=1e12).collect()}
+    hi = {(r["query_id"], r["rank"]): r["point_id"]
+          for r in knn.knn_auto(pts, queries, k=10, brute_cost_cap=0,
+                                res=8).collect()}
+    assert lo == hi and len(lo) == 50
+
+
 def test_knn_kring_sparse_region(spark, nodes, queries):
     """Queries far from the data still converge (ring expansion path)."""
     far = spark.createDataFrame(
