@@ -469,3 +469,56 @@ def prepare_polygons(polys: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFram
         F.transform("ring", lambda p: p["lon"]).alias("ring_lon"),
         F.explode(cover_cells_udf(res)(F.col("ring"))).alias("cell"),
     )
+
+
+def spatial_join_distributed(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int = DEFAULT_COVER_RES,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Fully distributed PIP join — NO driver-side polygon collect.
+
+    For polygon sets beyond the broadcast-dim contract of `spatial_join`
+    (which collects rings once and ships them via a broadcast variable):
+    covers are computed per-polygon inside a pandas UDF (prepare_polygons),
+    the candidate set is a plain shuffle equi-join on cell, and the refine
+    ray-casts against the ring arrays carried on the polygon side of each
+    candidate row (grouped per distinct polygon within each Arrow batch,
+    so the vectorized crossing-number pass still runs once per polygon per
+    batch).  Costs more Arrow transfer than spatial_join — the ring rides
+    every candidate row — so prefer `spatial_join` while the dim fits the
+    driver; semantics are identical (inner join, crossing-number,
+    antimeridian rings unwrapped)."""
+    prepared = prepare_polygons(polys, res)
+    pts = hexgrid.with_hex_cell(points, res, lat=lat, lon=lon,
+                                out_col="__cell")
+    cand = pts.join(prepared, pts["__cell"] == prepared["cell"], "inner")
+
+    @F.pandas_udf(T.BooleanType())
+    def refine_rows(plat: pd.Series, plon: pd.Series, pid: pd.Series,
+                    rlat: pd.Series, rlon: pd.Series) -> pd.Series:
+        py = plat.to_numpy()
+        px = plon.to_numpy()
+        out = np.zeros(len(py), dtype=bool)
+        codes, uniques = pd.factorize(pid.to_numpy())
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+        for g in range(len(uniques)):
+            idx = order[bounds[g]:bounds[g + 1]]
+            if len(idx) == 0:
+                continue
+            first = idx[0]
+            ring_lat = np.asarray(rlat.iloc[first], dtype=np.float64)
+            ring_lon = unwrap_ring_lons(
+                np.asarray(rlon.iloc[first], dtype=np.float64)
+            )
+            out[idx] = _pip_single_ring(py[idx], px[idx], ring_lat, ring_lon)
+        return pd.Series(out)
+
+    refined = cand.filter(
+        refine_rows(F.col(lat), F.col(lon), F.col("poly_id"),
+                    F.col("ring_lat"), F.col("ring_lon"))
+    )
+    return refined.drop("__cell", "cell", "ring_lat", "ring_lon")

@@ -216,6 +216,36 @@ def test_antimeridian_cover_superset():
     assert set(cells.tolist()) <= cover
 
 
+def test_spatial_join_distributed_equals_broadcast(nodes, polygons):
+    """The no-driver-collect variant must be result-identical to the
+    broadcast-dim spatial_join on the same inputs."""
+    pts = nodes.select("id", "lat", "lon")
+    a = {(r["id"], r["poly_id"]) for r in
+         sj.spatial_join(pts, polygons, res=7).collect()}
+    b = {(r["id"], r["poly_id"]) for r in
+         sj.spatial_join_distributed(pts, polygons, res=7).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_spatial_join_distributed_antimeridian(spark):
+    """Distributed variant handles antimeridian rings the same way."""
+    ring = [(10.0, 179.0), (10.0, -179.0), (12.0, -179.0), (12.0, 179.0),
+            (10.0, 179.0)]
+    polys = spark.createDataFrame(
+        [("am", "test", [{"lat": a, "lon": o} for a, o in ring], None)],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    pts = spark.createDataFrame(
+        [("in_e", 11.0, 179.5), ("in_w", 11.0, -179.5),
+         ("out_n", 13.0, 179.5), ("out_lon", 11.0, 178.0)],
+        "id string, lat double, lon double",
+    )
+    got = {r["id"] for r in
+           sj.spatial_join_distributed(pts, polys, res=7).collect()}
+    assert got == {"in_e", "in_w"}
+
+
 def test_polar_winding_ring_rejected():
     """A ring encircling a pole (longitudes wind a full 360) has no
     latlon-straight-edge interior; it must be refused loudly."""
