@@ -442,6 +442,54 @@ def verified_near_dup_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word n-gram shingles that also occur ANYWHERE in the
+    benchmark set — (doc_id, n_sh, n_match, overlap, contaminated) rows.
+
+    Shape at 10^12 docs: both sides reduce to distinct shingle HASHES
+    (xxhash64, native); the benchmark side collapses to one global
+    distinct-hash set (benchmarks are small — broadcast by default) and
+    the check is a hash equi-join + per-doc count, never a text
+    comparison.  Shingle-less docs report overlap 0.0 (nothing to leak)."""
+    base = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes_col(n, text_col)).alias("__sh"),
+    )
+    tot = base.select(id_col, F.size("__sh").alias("n_sh"))
+    d = base.select(id_col, F.explode("__sh").alias("__h"))
+    b = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingle_hashes_col(n, text_col))
+            ).alias("__h")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    matched = d.join(b, "__h").groupBy(id_col).agg(
+        F.count("*").alias("n_match")
+    )
+    out = (
+        tot.join(matched, id_col, "left")
+        .withColumn("n_match", F.coalesce("n_match", F.lit(0)))
+        .withColumn(
+            "overlap",
+            F.col("n_match") / F.greatest(F.col("n_sh"), F.lit(1)).cast("double"),
+        )
+        .withColumn("contaminated", F.col("overlap") >= threshold)
+    )
+    return out.select(id_col, "n_sh", "n_match", "overlap", "contaminated")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col,

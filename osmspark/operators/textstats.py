@@ -152,6 +152,66 @@ def token_count_percentiles_approx(docs: DataFrame, pcts=(50, 90, 99),
     )
 
 
+def chunk_documents(docs: DataFrame, max_tokens: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Training-sequence prep: split each document into overlapping
+    token-window chunks — (doc_id, chunk_id, chunk_n_tokens, chunk_text)
+    rows, all NATIVE (tokens -> sequence of window starts -> posexplode ->
+    slice/concat; no Python, no shuffle — purely map-side, so at 10^12
+    docs it pipelines inside the scan stage).
+
+    Window starts step by (max_tokens - overlap); the final window is
+    short rather than padded.  Token-less docs produce no chunks."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    s1 = docs.select(F.col(id_col), toks.alias("__toks"))
+    s1 = s1.select("*", F.size("__toks").alias("__n")).filter(F.col("__n") > 0)
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    s2 = s1.select(
+        id_col, "__toks", "__n",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk_toks = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    return s2.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk_toks).alias("chunk_n_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )
+
+
+def stratified_sample(docs: DataFrame, strata_col: str,
+                      per_stratum: int | None = None,
+                      fraction: float | None = None,
+                      seed: int = 42,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling for corpus mixing (e.g. fixed
+    quota per language/source, or an equal fraction of every stratum).
+
+    per_stratum: keep the N smallest-hash docs per stratum — ONE window
+    rank over (stratum, hash), stable under repartitioning.
+    fraction: keep docs whose id-hash falls under the fraction — pure
+    map-side filter, no shuffle at all.  Exactly one of the two."""
+    if (per_stratum is None) == (fraction is None):
+        raise ValueError("pass exactly one of per_stratum / fraction")
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    if fraction is not None:
+        bound = int(fraction * (1 << 20))
+        return docs.filter(F.pmod(h, F.lit(1 << 20)) < bound)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_stratum)
+        .drop("__rn")
+    )
+
+
 _MASK63 = (1 << 63) - 1  # clear the sign bit -> non-negative fingerprints
 
 

@@ -333,3 +333,72 @@ def test_token_count_percentiles(texts):
     n = len(rows)
     for p in (50, 90, 99):
         assert got[p] == rows[math.ceil(n * p / 100.0) - 1][0]
+
+
+def test_chunk_documents(texts):
+    """Chunk windows tile the token stream: each chunk is the exact token
+    slice [start, start+max); overlapping prefix matches the previous
+    chunk's suffix; token-less docs emit nothing."""
+    out = textstats.chunk_documents(texts, max_tokens=5, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"]), (r["chunk_n_tokens"], r["chunk_text"]))
+        for r in out.collect()
+    )
+    by_doc = {}
+    for (d, c), v in rows:
+        by_doc.setdefault(d, []).append(v)
+    src = {r["doc_id"]: r["text"].lower().split()
+           for r in texts.collect()}
+    step = 5 - 2
+    for d, chunks in by_doc.items():
+        toks = src[d]
+        assert len(chunks) == len(range(0, len(toks), step))
+        for i, (nt, ct) in enumerate(chunks):
+            want = toks[i * step:i * step + 5]
+            assert ct.split() == want and nt == len(want)
+    assert 101 not in by_doc  # empty doc -> no chunks
+    # zero Python in the plan (pure map-side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_stratified_sample(texts):
+    """Per-stratum quota: exactly min(quota, stratum size) rows kept per
+    stratum, deterministic across calls; fraction mode is map-side."""
+    strat = texts.withColumn("lang", F.when(F.col("doc_id") % 2 == 0,
+                                            "en").otherwise("de"))
+    a = textstats.stratified_sample(strat, "lang", per_stratum=5)
+    b = textstats.stratified_sample(strat, "lang", per_stratum=5)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb and len(ra) == 10
+    cnt = {r["lang"]: r["n"] for r in
+           a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert cnt == {"en": 5, "de": 5}
+    frac = textstats.stratified_sample(strat, "lang", fraction=0.5)
+    plan = frac._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # fraction mode must not shuffle
+    with pytest.raises(ValueError):
+        textstats.stratified_sample(strat, "lang")
+
+
+def test_decontaminate(spark):
+    """Overlap fractions match a hand computation; benchmark-free and
+    shingle-less docs report 0.0."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),   # 3 shingles, all leak
+         (1, "alpha beta gamma nope nope2"),      # 1 of 3 shingles leaks
+         (2, "totally unrelated text here now"),  # 0 leak
+         (3, "ab")],                              # shingle-less
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(docs, bench, n=3, threshold=0.5).collect()}
+    assert out[0]["overlap"] == 1.0 and out[0]["contaminated"]
+    assert abs(out[1]["overlap"] - 1 / 3) < 1e-9 and not out[1]["contaminated"]
+    assert out[2]["overlap"] == 0.0 and not out[2]["contaminated"]
+    assert out[3]["n_sh"] == 0 and out[3]["overlap"] == 0.0
