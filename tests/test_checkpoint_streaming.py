@@ -141,3 +141,47 @@ def test_stateful_running_totals_across_batches(tmp_path, spark):
         .filter(F.col("k") >= 2).count()
     )
     assert multi >= both
+
+
+def test_streaming_cell_and_tile_counts_match_batch(tmp_path, spark):
+    """Streaming spatial rollups == the same plan run as a batch: the hex
+    cell / tile assignment is stateless and shared with the batch path, so
+    an availableNow pass over a bounded source must reproduce the batch
+    groupBy exactly."""
+    import numpy as np
+
+    from osmspark.streaming import spatial as sp
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    lat = rng.uniform(1.13, 1.47, n)
+    lon = rng.uniform(103.6, 104.1, n)
+    rows = [
+        (f"2016-03-01 {i % 24:02d}:{i % 60:02d}:00", float(lat[i]), float(lon[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts string, lat double, lon double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "lat", "lon")
+    src = str(tmp_path / "pts")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, lat double, lon double").parquet(src)
+    batch = spark.read.parquet(src)
+
+    # complete mode: append would hold back windows the final watermark
+    # has not passed (bounded input ends inside the watermark lag)
+    got = {(r["window_start"], r["cell"]): r["cnt"] for r in ev.run_to_memory(
+        sp.streaming_cell_counts(stream, res=7, window="1 hour"),
+        "t_cells", output_mode="complete").collect()}
+    exp = {(r["window_start"], r["cell"]): r["cnt"] for r in
+           sp.streaming_cell_counts(batch, res=7, window="1 hour").collect()}
+    assert got == exp and len(exp) > 10
+
+    got_t = {(r["window_start"], r["tile_x"], r["tile_y"]): r["cnt"]
+             for r in ev.run_to_memory(
+                 sp.streaming_tile_counts(stream, zoom=10), "t_tiles",
+                 output_mode="complete"
+             ).collect()}
+    exp_t = {(r["window_start"], r["tile_x"], r["tile_y"]): r["cnt"]
+             for r in sp.streaming_tile_counts(batch, zoom=10).collect()}
+    assert got_t == exp_t and len(exp_t) > 5
