@@ -117,3 +117,20 @@ def test_salted_group_count_equals_plain(nodes):
     salted = {r["cell"]: r["cnt"] for r in
               salt.salted_group_count(pts, "cell", nsalt=4).collect()}
     assert plain == salted
+
+
+def test_knn_preindexed_points(nodes, queries):
+    """points_cell_col (the storage-layout path: cell pre-materialized at
+    a pinned res) must produce the same result as the self-assigning path
+    and as brute force."""
+    from osmspark.functions.hexgrid import with_hex_cell
+
+    pts = with_hex_cell(nodes.select("id", "lat", "lon"), 9,
+                        out_col="cell_r9")
+    bf = {(r["query_id"], r["rank"]): r["point_id"]
+          for r in knn.knn_bruteforce(
+              nodes.select("id", "lat", "lon"), queries, k=10).collect()}
+    pre = {(r["query_id"], r["rank"]): r["point_id"]
+           for r in knn.knn_kring(pts, queries, k=10, res=9,
+                                  points_cell_col="cell_r9").collect()}
+    assert pre == bf and len(bf) == 50
