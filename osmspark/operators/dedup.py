@@ -76,9 +76,11 @@ def token_hashes_col(text_col: str = "text"):
     Python (the round-2 fix for per-byte FNV loops inside pandas UDFs:
     token hashing is the hot inner loop of SimHash/fingerprinting, and
     xxhash64 runs it inside whole-stage codegen).  Empty tokens (split
-    artifacts on empty/whitespace text) are dropped."""
+    artifacts on empty/whitespace text) are dropped; NULL text behaves as
+    empty (zero tokens — the retired UDFs' semantics)."""
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
         lambda t: t != "",
     )
     return F.transform(toks, lambda t: F.xxhash64(t))
