@@ -254,6 +254,8 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 
     Per token the vote fold is 64 getbit+add lane updates — the same cost
     shape as the 64-perm MinHash fold that benches as 'excellent'."""
+    if out_col in df.columns:
+        raise ValueError(f"output column '{out_col}' already exists")
     s1 = df.select("*", token_hashes_col(text_col).alias("__sh_hs"))
     votes = F.aggregate(
         F.col("__sh_hs"),
@@ -466,7 +468,10 @@ def decontaminate(
         F.col(id_col),
         F.array_distinct(shingle_hashes_col(n, text_col)).alias("__sh"),
     )
-    tot = base.select(id_col, F.size("__sh").alias("n_sh"))
+    # coalesce: NULL text propagates a NULL shingle array through size()
+    tot = base.select(
+        id_col, F.coalesce(F.size("__sh"), F.lit(0)).alias("n_sh")
+    )
     d = base.select(id_col, F.explode("__sh").alias("__h"))
     b = (
         benchmark.select(

@@ -101,19 +101,26 @@ def extract_features(media: DataFrame,
 
     Real pipeline shape either way: iterator of Arrow batches in, per-batch
     numpy work, feature vectors out."""
-    decoder = _image_decoder()
+    # auto-detection runs on the DRIVER (deterministic choice for the whole
+    # job); the decoder itself is re-resolved lazily on each EXECUTOR —
+    # shipping a driver-imported PIL closure would crash task
+    # deserialization on executors without the library, so a mixed
+    # driver/executor environment fails with the explicit error below
+    # instead of a ModuleNotFoundError at unpickle time.
     if decode_stub is None:
-        decode_stub = decoder is None
+        decode_stub = _image_decoder() is None
 
     def run(batches):
+        decoder = None if decode_stub else _image_decoder()
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
                 if not decode_stub:
                     if decoder is None:
                         raise NotImplementedError(
-                            "real media decode requires PIL/ffmpeg — "
-                            "not importable in this environment"
+                            "real media decode requires PIL/ffmpeg on the "
+                            "EXECUTORS — not importable in this worker "
+                            "environment (driver-side detection may differ)"
                         )
                     feats.append(decoder(bytes(payload)))
                     continue

@@ -236,6 +236,8 @@ def with_fingerprint(docs: DataFrame, window: int = 8,
     not DAGs)."""
     from .dedup import token_hashes_col
 
+    if out_col in docs.columns:
+        raise ValueError(f"output column '{out_col}' already exists")
     s1 = docs.select("*", token_hashes_col(text_col).alias("__fp_hs"))
     hs = F.col("__fp_hs")
     n = F.size(hs)
