@@ -14,6 +14,10 @@ Stages (each a resumable B8 snapshot; kill and rerun to resume):
   3. pip       — two-phase PIP join vs admin/ZIP polygons (B4)
   4. tiles     — z12 tile counts + density rasters (B6)
   5. audits    — the reference's audit tables (A4-A12) as parquet outputs
+  6. curation  — LLM-corpus tier over the documents' text spans: exact
+     dedup ∩ quality ∩ language, MinHash-LSH verified near-dup pairs,
+     then training chunks (overlapping token windows) — each a resumable
+     snapshot with lineage like every spatial stage
 """
 
 from __future__ import annotations
@@ -128,6 +132,37 @@ def main() -> None:
         .select(audit.postcode_class("postcode").alias("pc_class"))
         .groupBy("pc_class").agg(F.count("*").alias("cnt")),
         inputs=["stage:extract"],
+    )
+
+    # LLM-corpus curation tier over the documents' TEXT spans (same
+    # resumable-snapshot discipline as the spatial stages)
+    from osmspark.operators.dedup import verified_near_dup_pairs
+    from osmspark.operators.textstats import chunk_documents, curate
+    from osmspark.sources.spans import explode_spans
+
+    def build_texts():
+        return explode_spans(docs, kinds=["text"]).select(
+            F.concat_ws("-", "doc_id", "pos").alias("doc_id"), "text"
+        )
+
+    texts = store.run_stage(spark, "texts", build_texts, inputs=[docs_src])
+    curated = store.run_stage(
+        spark, "curated",
+        lambda: curate(texts, min_quality=30, langs=("en", "unknown")),
+        inputs=["stage:texts"],
+    )
+    store.run_stage(
+        spark, "near_dup_pairs",
+        lambda: verified_near_dup_pairs(texts, jaccard_threshold=0.8),
+        inputs=["stage:texts"],
+    )
+    store.run_stage(
+        spark, "chunks",
+        lambda: chunk_documents(
+            texts.join(curated.select("doc_id"), "doc_id", "left_semi"),
+            max_tokens=64, overlap=8,
+        ),
+        inputs=["stage:texts", "stage:curated"],
     )
 
     print(json.dumps({"stages": [m["stage"] for m in store.lineage_report()],
