@@ -212,6 +212,29 @@ def main() -> None:
     extras = {"knn_kring_100kq": t_100k}
     extra_steals = {"knn_kring_100kq": s_100k}
 
+    # 100k-query IVF ANN over 200k synthetic vectors (round-3 VERDICT item
+    # 1 'done' criterion): probe assignment is a pandas UDF on the queries
+    # DataFrame and the scan is the per-bucket block-GEMM cogroup — no
+    # driver collect of the query set anywhere in the path
+    from osmspark.datagen import gen_vectors
+    from osmspark.operators.similarity import ivf_topk_gemm, train_centroids
+
+    vecs = gen_vectors(spark, 200_000, 64).persist()
+    vecs.count()
+    cents = train_centroids(vecs, n_centroids=256, iters=1)
+    ivf_qs = vecs.limit(100_000).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def q_ivf_100k():
+        return ivf_topk_gemm(vecs, ivf_qs, k=10, centroids=cents,
+                             nprobe=2).count()
+
+    q_ivf_100k()  # warm (JIT + Arrow path), unmeasured
+    _, t_ivf, s_ivf = timed(q_ivf_100k)
+    extras["ivf_gemm_100kq"] = t_ivf
+    extra_steals["ivf_gemm_100kq"] = s_ivf
+    vecs.unpersist()
+
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(
         n_docs / (queries["span_extract_snapshot"]

@@ -278,3 +278,26 @@ def gen_polygons(spark: SparkSession, grid_x: int = 10, grid_y: int = 5) -> Data
     schema = ("poly_id string, level string, "
               "ring array<struct<lat:double,lon:double>>, postcode string")
     return spark.createDataFrame(rows, schema=schema)
+
+
+def gen_vectors(spark: SparkSession, n: int, dim: int = 64,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic embedding table (vec_id, embedding) — NATIVE
+    generation (xxhash64 per (id, lane) -> uniform [-1, 1)), distributed
+    and reproducible regardless of partitioning.  Bench-scale stand-in for
+    a real embedding column; isotropic, i.e. the WORST case for IVF
+    bucketing recall."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n, numPartitions=partitions).select(
+        F.col("id").alias("vec_id")
+    )
+    lanes = F.sequence(F.lit(0), F.lit(dim - 1))
+    vec = F.transform(
+        lanes,
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2_000_001))
+             - F.lit(1_000_000)) / F.lit(1_000_000.0)
+        ),
+    )
+    return ids.select("vec_id", vec.alias("embedding"))
