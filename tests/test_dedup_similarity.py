@@ -372,6 +372,47 @@ def test_multimodal_plumbing(docs):
     assert frames.select("media_ref").distinct().count() == vids
 
 
+def _raising_decoder_factory():
+    """Simulates a PIL-equipped environment whose decoder rejects the
+    synthetic payloads (they are sha256 bytes, not image files)."""
+
+    def decode(payload: bytes):
+        raise ValueError("not an image payload")
+
+    return decode
+
+
+def test_multimodal_auto_decode_fallback(docs):
+    """Round-3 ADVICE medium: with a real decoder importable, AUTO mode
+    must not crash on non-decodable payloads — every row falls back to the
+    stub features, bit-identical to decode_stub=True."""
+    media = multimodal.media_table(docs).limit(20)
+    auto = {r["media_ref"]: list(r["features"])
+            for r in multimodal.extract_features(
+                media, decoder_factory=_raising_decoder_factory).collect()}
+    stub = {r["media_ref"]: list(r["features"])
+            for r in multimodal.extract_features(
+                media, decode_stub=True).collect()}
+    assert auto == stub
+
+
+def test_multimodal_strict_rejects_non_image(docs):
+    """STRICT mode with a decoder present must refuse audio/video rows
+    explicitly (no decoder exists for them) instead of feeding them to the
+    image decoder."""
+    media = multimodal.media_table(docs).filter(
+        F.col("media_type") != "image"
+    ).limit(4)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(
+            media, decode_stub=False,
+            decoder_factory=_raising_decoder_factory,
+        ).collect()
+    assert "no real decoder" in str(ei.value) or "NotImplementedError" in str(
+        ei.value
+    )
+
+
 def test_multimodal_decode_stub_raises(docs):
     media = multimodal.media_table(docs)
     with pytest.raises(Exception) as ei:
@@ -420,13 +461,21 @@ def test_chunk_documents(texts):
         by_doc.setdefault(d, []).append(v)
     src = {r["doc_id"]: r["text"].lower().split()
            for r in texts.collect()}
-    step = 5 - 2
+    step, overlap = 5 - 2, 2
     for d, chunks in by_doc.items():
         toks = src[d]
-        assert len(chunks) == len(range(0, len(toks), step))
+        # starts bounded at n-overlap-1: no trailing chunk made ONLY of
+        # overlap tokens the previous chunk already emitted (round-3
+        # ADVICE); full token coverage still holds
+        starts = [s for s in range(0, len(toks), step)
+                  if s <= max(len(toks) - overlap - 1, 0)]
+        assert len(chunks) == len(starts)
+        covered = set()
         for i, (nt, ct) in enumerate(chunks):
-            want = toks[i * step:i * step + 5]
+            want = toks[starts[i]:starts[i] + 5]
             assert ct.split() == want and nt == len(want)
+            covered.update(range(starts[i], starts[i] + nt))
+        assert covered == set(range(len(toks)))  # every token in a chunk
     assert 101 not in by_doc  # empty doc -> no chunks
     # zero Python in the plan (pure map-side)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -451,6 +500,57 @@ def test_stratified_sample(texts):
     assert "Exchange" not in plan  # fraction mode must not shuffle
     with pytest.raises(ValueError):
         textstats.stratified_sample(strat, "lang")
+
+
+def test_stratified_quota_two_phase_skew_safe(spark):
+    """Quota mode is two-phase top-N (round-3 VERDICT item 4): a dominant
+    stratum pre-ranks across n_presplit salt buckets before the final
+    per-stratum window, and the result equals the single-window form."""
+    import pyspark.sql.functions as F2
+
+    # 90% of rows in one stratum — the skew case the two-phase form exists
+    # for
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en").otherwise("de").alias("lang"),
+    )
+    got = textstats.stratified_sample(docs, "lang", per_stratum=25,
+                                      n_presplit=8)
+    # single-window reference (the pre-phase must not change the result)
+    from pyspark.sql import Window
+
+    h = F2.xxhash64(F2.col("doc_id"), F2.lit(42))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F2.col("doc_id").asc())
+    ref = (
+        docs.withColumn("__rn", F2.row_number().over(w))
+        .filter(F2.col("__rn") <= 25).drop("__rn")
+    )
+    assert (sorted(r["doc_id"] for r in got.collect())
+            == sorted(r["doc_id"] for r in ref.collect()))
+    # the plan carries BOTH window phases (pre-rank + final rank)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+
+
+def test_stratified_sample_hash_expr(spark):
+    """hash_expr overrides the sampling hash (oracle reproducibility):
+    both modes keep exactly the rows the custom hash admits."""
+    import pyspark.sql.functions as F2
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    h = (F2.col("doc_id") * 7919 + 13) % 104729
+    frac = textstats.stratified_sample(docs, "lang", fraction=0.25,
+                                       hash_expr=h)
+    want = {i for i in range(100) if ((i * 7919 + 13) % 104729) % (1 << 20)
+            < int(0.25 * (1 << 20))}
+    assert {r["doc_id"] for r in frac.collect()} == want
+    quota = textstats.stratified_sample(docs, "lang", per_stratum=10,
+                                        hash_expr=h)
+    want_q = sorted(range(100),
+                    key=lambda i: ((i * 7919 + 13) % 104729, i))[:10]
+    assert sorted(r["doc_id"] for r in quota.collect()) == sorted(want_q)
 
 
 def test_decontaminate(spark):

@@ -134,3 +134,17 @@ def test_knn_preindexed_points(nodes, queries):
            for r in knn.knn_kring(pts, queries, k=10, res=9,
                                   points_cell_col="cell_r9").collect()}
     assert pre == bf and len(bf) == 50
+
+
+def test_knn_preindexed_wrong_res_raises(nodes, queries):
+    """A layout cell column pinned at the WRONG resolution must fail
+    loudly (round-3 ADVICE: it used to silently empty every candidate
+    join and push all queries through the brute-force fallback)."""
+    import pytest as _pytest
+    from osmspark.functions.hexgrid import with_hex_cell
+
+    pts = with_hex_cell(nodes.select("id", "lat", "lon"), 8,
+                        out_col="cell_r8")
+    with _pytest.raises(ValueError, match="res=9"):
+        knn.knn_kring(pts, queries, k=10, res=9,
+                      points_cell_col="cell_r8").collect()
