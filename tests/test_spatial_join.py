@@ -246,20 +246,139 @@ def test_spatial_join_distributed_antimeridian(spark):
     assert got == {"in_e", "in_w"}
 
 
-def test_polar_winding_ring_rejected():
-    """A ring encircling a pole (longitudes wind a full 360) has no
-    latlon-straight-edge interior; it must be refused loudly."""
-    lons = np.arange(-180.0, 181.0, 60.0)  # -180..180, winds once
-    lats = np.full_like(lons, 80.0)
-    lats[-1] = lats[0]
-    with pytest.raises(ValueError, match="pole"):
-        sj._ring_cover_cells(lats, lons, 5)
+def _mk_polys(spark, rings_by_id):
+    rows = [(pid, "test", [{"lat": a, "lon": o} for a, o in ring], None)
+            for pid, ring in rings_by_id.items()]
+    return spark.createDataFrame(
+        rows,
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
 
 
-def test_hemisphere_ring_still_rejected():
-    """Hemisphere-scale rings (wider than 180 deg even after unwrap) are
-    still a loud failure, not silent wrong answers."""
-    lats = np.array([0.0, 0.0, 20.0, 20.0, 0.0])
-    lons = np.array([-100.0, 100.0, 100.0, -100.0, -100.0])
-    with pytest.raises(ValueError, match="hemisphere|opposing"):
-        sj._ring_cover_cells(lats, lons, 5)
+def test_hemisphere_wide_ring_joins(spark):
+    """Round-3 VERDICT item 3: a ring spanning >180 deg of longitude used
+    to raise; split_ring bisects it into coverable pieces and the join
+    must equal a strict planar box test."""
+    la0, la1, lo0, lo1 = 0.5, 20.5, -100.5, 100.5  # 201 deg of longitude
+    # edge vertices every ~50 deg: consecutive lon deltas stay < 180, so
+    # the shortest-path unwrap convention reads the ring unambiguously
+    # (a single 201-deg edge would be interpreted as crossing +-180)
+    lo_steps = np.linspace(lo0, lo1, 5)
+    ring = ([(la0, float(lo)) for lo in lo_steps]
+            + [(la1, float(lo)) for lo in lo_steps[::-1]]
+            + [(la0, lo0)])
+    polys = _mk_polys(spark, {"wide": ring})
+    rng = np.random.default_rng(17)
+    plat = rng.uniform(-5.0, 26.0, 3000)
+    plon = rng.uniform(-120.0, 120.0, 3000)
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    got = {r["id"] for r in sj.spatial_join(pts, polys, res=4).collect()}
+    exp = {str(i) for i in range(len(plat))
+           if la0 < plat[i] < la1 and lo0 < plon[i] < lo1}
+    assert got == exp
+    assert len(exp) > 500
+
+
+def test_polar_cap_ring_joins(spark):
+    """A pole-encircling ring (net longitude winding) joins as the region
+    between the curve and the encircled pole: winding EASTWARD keeps the
+    north side (interior on the traversal's left), WESTWARD the south
+    side.  Ground truth: lat vs the (piecewise-linear) curve, with points
+    sampled >1 deg away from the boundary so interpolation conventions
+    cannot flip them."""
+    lon_grid = np.arange(-180.0, 180.1, 5.0)
+    curve = -60.0 + 5.0 * np.sin(np.radians(3.0 * lon_grid))
+    east = [(float(curve[i]), float(lon_grid[i]))
+            for i in range(len(lon_grid))]
+    west = list(reversed(east))
+    polys = _mk_polys(spark, {"north_side": east, "south_side": west})
+    rng = np.random.default_rng(23)
+    plat = rng.uniform(-89.5, -30.0, 4000)
+    plon = rng.uniform(-180.0, 180.0, 4000)
+    f = np.interp(plon, lon_grid, curve)
+    keep = np.abs(plat - f) > 1.0  # dodge the boundary band
+    plat, plon, f = plat[keep], plon[keep], f[keep]
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    got = {(r["id"], r["poly_id"])
+           for r in sj.spatial_join(pts, polys, res=3).collect()}
+    exp = set()
+    for i in range(len(plat)):
+        exp.add((str(i), "north_side" if plat[i] > f[i] else "south_side"))
+    assert got == exp
+    assert sum(1 for _, p in exp if p == "south_side") > 300
+    assert sum(1 for _, p in exp if p == "north_side") > 300
+
+
+def test_polar_cap_distributed_equals_broadcast(spark):
+    """The no-driver-collect variant must split polar rings identically."""
+    lon_grid = np.arange(-180.0, 180.1, 10.0)
+    curve = -65.0 + 4.0 * np.sin(np.radians(2.0 * lon_grid))
+    west = [(float(curve[i]), float(lon_grid[i]))
+            for i in range(len(lon_grid))][::-1]
+    polys = _mk_polys(spark, {"cap": west})
+    rng = np.random.default_rng(29)
+    plat = rng.uniform(-89.0, -40.0, 1500)
+    plon = rng.uniform(-180.0, 180.0, 1500)
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    a = {r["id"] for r in sj.spatial_join(pts, polys, res=3).collect()}
+    b = {r["id"] for r in
+         sj.spatial_join_distributed(pts, polys, res=3).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_split_ring_pieces_tile_exactly():
+    """split_ring invariant: every point is inside the original ring iff
+    it is inside EXACTLY ONE piece (no gaps, no double counting) — checked
+    on a concave ring forced through the splitter by width."""
+    # concave 'C'-shaped ring, 220 deg wide -> must split; long horizontal
+    # edges carry intermediate vertices so the shortest-path unwrap reads
+    # them unambiguously (deltas < 180)
+    corners = [(0.0, -110.0), (0.0, 110.0), (30.0, 110.0), (30.0, -110.0),
+               (20.0, -110.0), (20.0, 100.0), (10.0, 100.0), (10.0, -110.0),
+               (0.0, -110.0)]
+    ring = []
+    for (a0, o0), (a1, o1) in zip(corners, corners[1:]):
+        n = max(int(abs(o1 - o0) // 60) + 1, 1)
+        for t in np.arange(n) / n:
+            ring.append((a0 + t * (a1 - a0), o0 + t * (o1 - o0)))
+    ring.append(corners[-1])
+    lats = np.array([p[0] for p in ring])
+    lons = np.array([p[1] for p in ring])
+    pieces = sj.split_ring(lats, lons)
+    assert len(pieces) > 1
+    rng = np.random.default_rng(31)
+    py = rng.uniform(-5.0, 35.0, 4000)
+    px = rng.uniform(-130.0, 130.0, 4000)
+    counts = np.zeros(len(py), dtype=np.int64)
+    for rl, rlon in pieces:
+        counts += sj._pip_single_ring(py, px, rl, rlon).astype(np.int64)
+    exp = np.array([_pip_py(py[i], px[i], ring) for i in range(len(py))])
+    assert (counts <= 1).all()              # disjoint interiors
+    assert ((counts == 1) == exp).all()     # union == original
+    assert exp.sum() > 300 and (~exp).sum() > 300
+
+
+def test_wide_ring_cover_superset():
+    """Interior samples of a hemisphere-wide ring always land in its
+    (split-merged) cover."""
+    from osmspark.functions import hexgrid
+
+    lo_steps = np.linspace(-100.0, 100.0, 5)
+    lats = np.array([0.0] * 5 + [20.0] * 5 + [0.0])
+    lons = np.concatenate([lo_steps, lo_steps[::-1], [-100.0]])
+    cover = set(sj._ring_cover_cells(lats, lons, 4).tolist())
+    rng = np.random.default_rng(37)
+    slat = rng.uniform(0.01, 19.99, 800)
+    slon = rng.uniform(-99.99, 99.99, 800)
+    cells = hexgrid.latlon_to_cell(slat, slon, 4)
+    assert set(cells.tolist()) <= cover
