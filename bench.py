@@ -212,6 +212,34 @@ def main() -> None:
     extras = {"knn_kring_100kq": t_100k}
     extra_steals = {"knn_kring_100kq": s_100k}
 
+    # storage-layout kNN (round-3 VERDICT item 7): write the cell-bucketed
+    # layout ONCE (unmeasured — it is part of the table's storage, like an
+    # Iceberg bucket transform), then a 5000-query batch rides the
+    # pre-assigned cell column — compare with knn_kring_5000q above, which
+    # pays the per-call assignment + occupancy probe.  The layout res MUST
+    # come from the occupancy rule: a res-8 layout on this dense city
+    # holds 3*10^5 points in one cell and wedges the ring join.
+    from osmspark.operators.knn import occupancy_res
+    from osmspark.plans.layout import write_cell_bucketed
+
+    layout_res = occupancy_res(nodes.select("id", "lat", "lon"), 8, k=10)
+    layout_path = f"{CACHE_ROOT}/layout_{n_docs}_{cpus}_r{layout_res}"
+    if not os.path.exists(f"{layout_path}/_SUCCESS"):
+        write_cell_bucketed(nodes.select("id", "lat", "lon"), layout_path,
+                            res=layout_res)
+    lnodes = spark.read.parquet(layout_path)
+
+    def q_knn_layout_5k():
+        qs = lnodes.limit(5000).select(
+            F.col("id").alias("query_id"), "lat", "lon")
+        return knn_kring(lnodes, qs, k=10, res=layout_res,
+                         points_cell_col="cell").count()
+
+    q_knn_layout_5k()  # warm
+    _, t_lay, s_lay = timed(q_knn_layout_5k)
+    extras["knn_layout_5000q"] = t_lay
+    extra_steals["knn_layout_5000q"] = s_lay
+
     # 100k-query IVF ANN over 200k synthetic vectors (round-3 VERDICT item
     # 1 'done' criterion): probe assignment is a pandas UDF on the queries
     # DataFrame and the scan is the per-bucket block-GEMM cogroup — no

@@ -86,6 +86,34 @@ def main() -> None:
         inputs=["stage:extract"],
     )
 
+    # M6 storage layout: nodes written partitioned by bounded cell bucket
+    # (the parquet stand-in for Iceberg bucket(N, cell)); downstream kNN
+    # batches read the pre-assigned cell column and skip the per-call
+    # assignment scan entirely (knn_kring points_cell_col).  Local-fs
+    # _SUCCESS marker makes the write resumable in the sandbox demo; on a
+    # real cluster the Iceberg catalog owns this stage's idempotency.
+    import os
+
+    from osmspark.operators.knn import knn_kring, occupancy_res
+    from osmspark.plans.layout import write_cell_bucketed
+
+    layout_res = occupancy_res(nodes.select("id", "lat", "lon"), 8, k=10)
+    layout_path = f"{args.out}/nodes_cell_bucketed_r{layout_res}"
+    if not os.path.exists(f"{layout_path}/_SUCCESS"):
+        write_cell_bucketed(nodes.select("id", "lat", "lon"), layout_path,
+                            res=layout_res)
+    layout_nodes = spark.read.parquet(layout_path)
+    store.run_stage(
+        spark, "knn_layout",
+        lambda: knn_kring(
+            layout_nodes,
+            layout_nodes.limit(200).select(
+                F.col("id").alias("query_id"), "lat", "lon"),
+            k=5, res=layout_res, points_cell_col="cell",
+        ),
+        inputs=[f"layout:nodes_cell_bucketed_r{layout_res}"],
+    )
+
     polys = gen_polygons(spark)
     store.run_stage(
         spark, "pip",

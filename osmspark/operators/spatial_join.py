@@ -676,6 +676,123 @@ def spatial_join(
     return refined.drop("__cell", "cell", "interior").join(attrs_df, "poly_id")
 
 
+def adaptive_polygon_covers(
+    prows: list,
+    max_res: int = DEFAULT_COVER_RES,
+    min_res: int = 2,
+    max_cover_cells: int = 4096,
+):
+    """Per-polygon adaptive cover resolution: each polygon is covered at
+    the FINEST res whose cover stays within max_cover_cells (floored at
+    min_res) — a ZIP rectangle gets km-scale cells, Antarctica gets
+    continent-scale ones, and the broadcast cover table stays bounded at
+    ~max_cover_cells * n_polys rows no matter how the dim mixes sizes.
+
+    Resolution search walks COARSE -> FINE, refining while the next step's
+    ~7x growth (aperture-7) still fits the budget, so the wasted work is a
+    geometric series dominated by the accepted res — a huge polygon never
+    pays for a fine cover it will discard.
+
+    Returns (covers_by_res, res_by_pid): covers_by_res maps res -> list of
+    (poly_id, cell) rows."""
+    covers_by_res: dict[int, list] = {}
+    res_by_pid: dict = {}
+    for r in prows:
+        pid = r["poly_id"]
+        lats = np.array([p["lat"] for p in r["ring"]], dtype=np.float64)
+        lons = np.array([p["lon"] for p in r["ring"]], dtype=np.float64)
+        rr = min_res
+        cells, _ = _ring_cover_cells_flagged(lats, lons, rr)
+        while rr < max_res and len(cells) * 7 <= max_cover_cells:
+            nxt, _ = _ring_cover_cells_flagged(lats, lons, rr + 1)
+            if len(nxt) > max_cover_cells:
+                break
+            rr, cells = rr + 1, nxt
+        res_by_pid[pid] = rr
+        covers_by_res.setdefault(rr, []).extend(
+            (pid, int(c)) for c in cells
+        )
+    return covers_by_res, res_by_pid
+
+
+def spatial_join_adaptive(
+    points: DataFrame,
+    polys: DataFrame,
+    max_res: int = DEFAULT_COVER_RES,
+    min_res: int = 2,
+    max_cover_cells: int = 4096,
+    broadcast_polys: bool = True,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """spatial_join with a PER-POLYGON adaptive cover resolution — the
+    mixed-size-dim scale path (round 4).
+
+    A single fixed cover res cannot serve a dim that mixes ZIP rectangles
+    with continent polygons: fine res explodes the big polygons' covers
+    (Antarctica at res 5 is ~10^4 cells; at res 8 it would be ~10^7),
+    coarse res floods the small polygons with refine candidates.  Here
+    each polygon picks its own res (adaptive_polygon_covers) and the fact
+    side runs one broadcast candidate join PER DISTINCT RES in use (cell
+    assignment is pure codegen — a second assignment pass is far cheaper
+    than a 100x cover blowup), unioned before a single shared refine.
+    Candidate uniqueness per (point, polygon) is preserved: each polygon
+    lives at exactly one res.  Result-identical to fixed-res spatial_join
+    (the cover is a superset at ANY res; the ray-cast refine is exact)."""
+    spark = points.sparkSession
+    prows = polys.select("poly_id", "level", "postcode", "ring").collect()
+    covers_by_res, _ = adaptive_polygon_covers(
+        prows, max_res=max_res, min_res=min_res,
+        max_cover_cells=max_cover_cells,
+    )
+    rings_by_id = {
+        r["poly_id"]: split_ring(
+            np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
+            np.array([p["lon"] for p in r["ring"]], dtype=np.float64),
+        )
+        for r in prows
+    }
+    attrs = [(r["poly_id"], r["level"], r["postcode"]) for r in prows]
+    bc = spark.sparkContext.broadcast(rings_by_id)
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(plat: pd.Series, plon: pd.Series, pid: pd.Series) -> pd.Series:
+        return pd.Series(
+            _grouped_pip(plat.to_numpy(), plon.to_numpy(), pid.to_numpy(),
+                         bc.value)
+        )
+
+    cand_parts = []
+    for rr in sorted(covers_by_res):
+        cover_df = spark.createDataFrame(
+            covers_by_res[rr], "poly_id string, cell long"
+        )
+        if broadcast_polys:
+            cover_df = F.broadcast(cover_df)
+        pts = hexgrid.with_hex_cell(points, rr, lat=lat, lon=lon,
+                                    out_col="__cell")
+        cand_parts.append(
+            pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner")
+            .drop("__cell", "cell")
+        )
+    if not cand_parts:
+        return points.limit(0).select(
+            "*", F.lit(None).cast("string").alias("poly_id"),
+            F.lit(None).cast("string").alias("level"),
+            F.lit(None).cast("string").alias("postcode"),
+        )
+    from functools import reduce
+
+    cand = reduce(DataFrame.unionByName, cand_parts)
+    refined = cand.filter(refine(F.col(lat), F.col(lon), F.col("poly_id")))
+    attrs_df = spark.createDataFrame(
+        attrs, "poly_id string, level string, postcode string"
+    )
+    if broadcast_polys:
+        attrs_df = F.broadcast(attrs_df)
+    return refined.join(attrs_df, "poly_id")
+
+
 # --- compatibility surface for tests / other callers -----------------------
 def cover_cells_udf(res: int):
     """pandas UDF form of the cover (used when the polygon side is too large

@@ -12,6 +12,12 @@ At 100 TB the shaped-nodes table is written partitioned by a bounded
 This is the parquet stand-in for Iceberg `bucket(N, cell)` partition
 transforms (no Iceberg jar in-sandbox — SURVEY §7.0); the API is the same
 shape so a real catalog can slot in.
+
+Choosing `res`: use `operators.knn.occupancy_res(points, base_res, k)` —
+the layout must be at least as fine as the data density demands, or every
+kNN ring join against the pinned cell column degenerates into hot-cell
+scans (a res-8 layout on the dense bench city puts 3*10^5 points in one
+cell; the occupancy rule picks res 12 with ~10^2).
 """
 
 from __future__ import annotations

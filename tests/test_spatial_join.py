@@ -368,6 +368,55 @@ def test_split_ring_pieces_tile_exactly():
     assert exp.sum() > 300 and (~exp).sum() > 300
 
 
+def test_spatial_join_adaptive_mixed_dim(spark):
+    """Adaptive cover res (round 4): a dim mixing a km-scale rectangle
+    with a polar cap must pick a fine res for the rectangle and a coarse
+    one for the cap, keep every polygon's cover within the cell budget,
+    and return exactly the fixed-ground-truth membership."""
+    rect = [(1.2, 103.7), (1.2, 103.9), (1.4, 103.9), (1.4, 103.7),
+            (1.2, 103.7)]
+    lon_grid = np.arange(-180.0, 180.1, 10.0)
+    curve = -65.0 + 4.0 * np.sin(np.radians(2.0 * lon_grid))
+    cap = [(float(curve[i]), float(lon_grid[i]))
+           for i in range(len(lon_grid))][::-1]  # westward -> south side
+    polys = _mk_polys(spark, {"rect": rect, "cap": cap})
+    rng = np.random.default_rng(41)
+    plat = np.concatenate([rng.uniform(1.0, 1.6, 1500),
+                           rng.uniform(-89.0, -40.0, 1500)])
+    plon = np.concatenate([rng.uniform(103.5, 104.1, 1500),
+                           rng.uniform(-180.0, 180.0, 1500)])
+    pts = spark.createDataFrame(
+        [(str(i), float(plat[i]), float(plon[i])) for i in range(len(plat))],
+        "id string, lat double, lon double",
+    )
+    got = {(r["id"], r["poly_id"]) for r in sj.spatial_join_adaptive(
+        pts, polys, max_res=7, min_res=2, max_cover_cells=2048).collect()}
+    f = np.interp(plon, lon_grid, curve)
+    exp = set()
+    for i in range(len(plat)):
+        if 1.2 < plat[i] < 1.4 and 103.7 < plon[i] < 103.9:
+            exp.add((str(i), "rect"))
+        if plat[i] < f[i] - 1.0:           # clear of the boundary band
+            exp.add((str(i), "cap"))
+    near_boundary = {(str(i), "cap") for i in range(len(plat))
+                     if abs(plat[i] - f[i]) <= 1.0}
+    assert got - near_boundary == exp
+    assert len(exp) > 400
+    # per-poly resolutions + budget
+    prows = [{"poly_id": "rect", "ring": [{"lat": a, "lon": o}
+                                          for a, o in rect]},
+             {"poly_id": "cap", "ring": [{"lat": a, "lon": o}
+                                         for a, o in cap]}]
+    covers_by_res, res_by_pid = sj.adaptive_polygon_covers(
+        prows, max_res=7, min_res=2, max_cover_cells=2048)
+    assert res_by_pid["rect"] == 7          # small polygon -> finest res
+    assert res_by_pid["cap"] < 7            # huge polygon -> coarser res
+    from collections import Counter
+    for rr, rows in covers_by_res.items():
+        for pid, n in Counter(p for p, _ in rows).items():
+            assert n <= 2048, (rr, pid, n)
+
+
 def test_wide_ring_cover_superset():
     """Interior samples of a hemisphere-wide ring always land in its
     (split-merged) cover."""

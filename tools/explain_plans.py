@@ -134,6 +134,49 @@ def main() -> None:
           lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
     )
 
+    from osmspark.datagen import gen_vectors
+    from osmspark.operators.similarity import (
+        ivf_topk, ivf_topk_gemm, train_centroids,
+    )
+
+    vecs = gen_vectors(spark, 5000, 64)
+    cents = train_centroids(vecs, n_centroids=16, iters=0)
+    ivf_qs = vecs.limit(50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    add(
+        "IVF ANN, pair-join path (round-4 distributed probes)",
+        ivf_topk(vecs, ivf_qs, k=5, centroids=cents, nprobe=2,
+                 broadcast_queries=False),
+        [("probes generated ON the queries DataFrame — no driver-built "
+          "rows", lambda p: "LocalTableScan" not in p),
+         "ArrowEvalPython",
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+    add(
+        "IVF ANN, per-bucket block-GEMM path (round-4 big-batch scan)",
+        ivf_topk_gemm(vecs, ivf_qs, k=5, centroids=cents, nprobe=2),
+        [("cogrouped per centroid bucket",
+          lambda p: "FlatMapCoGroupsInPandas" in p),
+         ("probes + vectors each shuffled ONCE on cid",
+          lambda p: "hashpartitioning(cid" in p),
+         ("no driver-built rows", lambda p: "LocalTableScan" not in p)],
+    )
+
+    from osmspark.operators.textstats import stratified_sample
+
+    add(
+        "Stratified quota sampling (round-4 two-phase top-N)",
+        stratified_sample(
+            flat.select("doc_id", "text",
+                        F.lit("en").alias("lang")),
+            "lang", per_stratum=10, n_presplit=8),
+        [("phase-1 pre-rank partitioned by (stratum, salt) — the dominant "
+          "stratum spreads over n_presplit tasks",
+          lambda p: "__salt" in p),
+         ("two window phases", lambda p: p.count("Window") >= 2),
+         ("ZERO Python", lambda p: "EvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
