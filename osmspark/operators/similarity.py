@@ -142,11 +142,14 @@ def train_centroids(
 
 
 def _arrow_cosine_udf():
-    """Vectorized (qv, vv) -> cosine pandas UDF for the IVF scan stage: one
-    einsum over each Arrow batch.  The native zip_with/aggregate dot is a
-    higher-order expression evaluated per element (not codegen'd); at
-    10^7+ candidate pairs the Arrow-batched numpy dot wins by a wide
-    margin while transferring only the pair rows it would read anyway."""
+    """Vectorized (qv, vv) -> cosine pandas UDF for the IVF pair-join scan.
+
+    MEASURED to LOSE to the native dot at scale (BENCH_IVF_AB.json,
+    15.6M pairs: 54.9 s vs 11.2 s native): the per-PAIR Arrow transfer of
+    both 64-dim vectors dominates the numpy speedup.  Kept as the A/B
+    evidence and for narrow-row layouts; the real big-batch answer is
+    `ivf_topk_gemm` (2.5 s on the same workload), which ships each vector
+    once per bucket instead of once per pair."""
 
     @F.pandas_udf(T.DoubleType())
     def cos(qv: pd.Series, vv: pd.Series) -> pd.Series:
@@ -188,9 +191,11 @@ def ivf_topk(
     shuffle hash join on cid (with AQE) takes over — the probe side then
     carries qv once per probe, which is exactly the reranking data flow.
 
-    sim_impl: 'native' (zip_with/aggregate dot, stays JVM-side — right for
-    small candidate sets) or 'arrow' (vectorized numpy dot per Arrow batch
-    — wins when candidates reach 10^7 pairs; A/B'd in BENCH_r04)."""
+    sim_impl: 'native' (zip_with/aggregate dot, stays JVM-side) or
+    'arrow' (numpy dot per Arrow batch).  A/B'd at 15.6M candidate pairs
+    (BENCH_IVF_AB.json): native 11.2 s, arrow 54.9 s — per-pair Arrow
+    transfer dominates, so KEEP the native default here; for 10^5+ query
+    batches use `ivf_topk_gemm` (2.5 s on the same workload)."""
     v = vectors.withColumn("cid", _assign_udf(centroids)(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"), "cid"
     )
