@@ -63,3 +63,48 @@ def streaming_tile_counts(
         .select(F.col("w.start").alias("window_start"), "tile_x", "tile_y",
                 "cnt")
     )
+
+
+def streaming_geofence(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming spatial join (geofence alerts): a stream of points joined
+    against a STATIC polygon dim.
+
+    The batch two-phase join streams AS-IS: cell assignment is a
+    stateless native projection, the cover candidate join is a
+    stream-static broadcast equi-join (no streaming state), and the
+    ray-cast refine is a stateless Arrow-batched filter — so the stream
+    emits exactly the rows the batch join would produce for the same
+    input (equivalence-tested), including split hemisphere/polar rings.
+    One output row per (point, containing polygon)."""
+    from ..operators.spatial_join import spatial_join
+
+    return spatial_join(points, polys, res=res, lat=lat, lon=lon)
+
+
+def streaming_geofence_counts(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """(window_start, poly_id, cnt) — watermarked tumbling-window entry
+    counts per geofence polygon; the live occupancy feed a dispatch /
+    alerting pipeline reads.  State is bounded by the watermark; the join
+    itself is stateless (see streaming_geofence)."""
+    hits = streaming_geofence(points, polys, res=res, lat=lat, lon=lon)
+    return (
+        hits.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "poly_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "poly_id", "cnt")
+    )

@@ -185,3 +185,49 @@ def test_streaming_cell_and_tile_counts_match_batch(tmp_path, spark):
     exp_t = {(r["window_start"], r["tile_x"], r["tile_y"]): r["cnt"]
              for r in sp.streaming_tile_counts(batch, zoom=10).collect()}
     assert got_t == exp_t and len(exp_t) > 5
+
+
+def test_streaming_geofence_equals_batch(spark, tmp_path):
+    """The two-phase PIP join streams as-is (stateless projections +
+    stream-static broadcast join + Arrow filter): hit set and windowed
+    per-polygon counts must equal the batch join on the same input."""
+    import numpy as np
+
+    from osmspark.datagen import gen_polygons
+    from osmspark.operators.spatial_join import spatial_join
+    from osmspark.streaming import spatial as sp
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    lat = rng.uniform(1.13, 1.47, n)
+    lon = rng.uniform(103.6, 104.1, n)
+    rows = [
+        (str(i), f"2016-03-01 {i % 24:02d}:{i % 60:02d}:00",
+         float(lat[i]), float(lon[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, ts string, lat double, lon double"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "lat", "lon")
+    src = str(tmp_path / "geo_pts")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "id string, ts timestamp, lat double, lon double").parquet(src)
+    batch = spark.read.parquet(src)
+    polys = gen_polygons(spark)
+
+    got = {(r["id"], r["poly_id"]) for r in ev.run_to_memory(
+        sp.streaming_geofence(stream, polys, res=7), "t_geo").collect()}
+    exp = {(r["id"], r["poly_id"]) for r in
+           spatial_join(batch.select("id", "lat", "lon"), polys,
+                        res=7).collect()}
+    assert got == exp and len(exp) > 500
+
+    got_c = {(r["window_start"], r["poly_id"]): r["cnt"]
+             for r in ev.run_to_memory(
+                 sp.streaming_geofence_counts(stream, polys, res=7),
+                 "t_geo_cnt", output_mode="complete").collect()}
+    exp_c = {(r["window_start"], r["poly_id"]): r["cnt"]
+             for r in sp.streaming_geofence_counts(batch, polys,
+                                                   res=7).collect()}
+    assert got_c == exp_c and len(exp_c) > 20
