@@ -220,19 +220,21 @@ def main() -> None:
     # come from the occupancy rule: a res-8 layout on this dense city
     # holds 3*10^5 points in one cell and wedges the ring join.
     from osmspark.operators.knn import occupancy_res
-    from osmspark.plans.layout import write_cell_bucketed
+    from osmspark.plans.layout import ensure_cell_bucketed
 
     layout_res = occupancy_res(nodes.select("id", "lat", "lon"), 8, k=10)
-    layout_path = f"{CACHE_ROOT}/layout_{n_docs}_{cpus}_r{layout_res}"
-    if not os.path.exists(f"{layout_path}/_SUCCESS"):
-        write_cell_bucketed(nodes.select("id", "lat", "lon"), layout_path,
-                            res=layout_res)
-    lnodes = spark.read.parquet(layout_path)
+    lnodes = ensure_cell_bucketed(nodes.select("id", "lat", "lon"),
+                                  f"{CACHE_ROOT}/layout_{n_docs}_{cpus}",
+                                  layout_res)
+    # SAME query rows as knn_kring_5000q (the bucket-repartitioned layout
+    # reorders rows, so limiting lnodes would sample a different — and
+    # differently clustered — query set and conflate layout savings with
+    # query-set variance; round-4 review finding)
+    layout_qs = nodes.limit(5000).select(
+        F.col("id").alias("query_id"), "lat", "lon")
 
     def q_knn_layout_5k():
-        qs = lnodes.limit(5000).select(
-            F.col("id").alias("query_id"), "lat", "lon")
-        return knn_kring(lnodes, qs, k=10, res=layout_res,
+        return knn_kring(lnodes, layout_qs, k=10, res=layout_res,
                          points_cell_col="cell").count()
 
     q_knn_layout_5k()  # warm

@@ -92,17 +92,14 @@ def main() -> None:
     # assignment scan entirely (knn_kring points_cell_col).  Local-fs
     # _SUCCESS marker makes the write resumable in the sandbox demo; on a
     # real cluster the Iceberg catalog owns this stage's idempotency.
-    import os
-
     from osmspark.operators.knn import knn_kring, occupancy_res
-    from osmspark.plans.layout import write_cell_bucketed
+    from osmspark.plans.layout import ensure_cell_bucketed
 
     layout_res = occupancy_res(nodes.select("id", "lat", "lon"), 8, k=10)
-    layout_path = f"{args.out}/nodes_cell_bucketed_r{layout_res}"
-    if not os.path.exists(f"{layout_path}/_SUCCESS"):
-        write_cell_bucketed(nodes.select("id", "lat", "lon"), layout_path,
-                            res=layout_res)
-    layout_nodes = spark.read.parquet(layout_path)
+    layout_nodes = ensure_cell_bucketed(
+        nodes.select("id", "lat", "lon"),
+        f"{args.out}/nodes_cell_bucketed", layout_res,
+    )
     store.run_stage(
         spark, "knn_layout",
         lambda: knn_kring(

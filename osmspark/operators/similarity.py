@@ -206,6 +206,11 @@ def ivf_topk(
     )
     if broadcast_queries:
         probes = F.broadcast(probes)
+    if sim_impl not in ("native", "arrow"):
+        # explicit rejection: a typo silently falling back to 'native'
+        # would mislabel A/B measurements (round-4 review finding)
+        raise ValueError(f"sim_impl must be 'native' or 'arrow', "
+                         f"got {sim_impl!r}")
     sim = (
         _arrow_cosine_udf()(F.col("qv"), F.col("vv"))
         if sim_impl == "arrow"

@@ -173,15 +173,23 @@ def _cover_on_face(f: int, u, v, res: int):
     qq, rr = np.meshgrid(np.arange(q0, q1 + 1), np.arange(r0, r1 + 1))
     qq, rr = qq.ravel(), rr.ravel()
     cx, cy = hexgrid._axial_to_xy(qq.astype(np.float64), rr.astype(np.float64), res)
-    # center-in-ring (in uv plane) ...
-    inside = points_in_rings_np(
-        cy, cx, [v] * len(cx), [u] * len(cx)
-    )  # note: "lat" axis := v, "lon" axis := u (any consistent pair works)
-    # ... or center near an edge
-    d2 = _point_segment_dist2(
-        cx[:, None], cy[:, None],
-        u[None, :-1], v[None, :-1], u[None, 1:], v[None, 1:],
-    ).min(axis=1)
+    # classify bbox cells in BLOCKS: the (cells x edges) matrices peak at
+    # block_size * n_edges doubles instead of n_cells * n_edges — a
+    # continent polygon at fine res enumerates 10^5-10^6 bbox cells
+    # against 10^2-10^3 densified edges, which unblocked is gigabytes of
+    # driver numpy (round-4 follow-up to the split_ring work)
+    block = 16384
+    inside = np.empty(len(cx), dtype=bool)
+    d2 = np.empty(len(cx), dtype=np.float64)
+    for s in range(0, len(cx), block):
+        e = min(s + block, len(cx))
+        # center-in-ring test in the uv plane ("lat" := v, "lon" := u —
+        # any consistent axis pair works for crossing numbers)
+        inside[s:e] = _pip_single_ring(cy[s:e], cx[s:e], v, u)
+        d2[s:e] = _point_segment_dist2(
+            cx[s:e, None], cy[s:e, None],
+            u[None, :-1], v[None, :-1], u[None, 1:], v[None, 1:],
+        ).min(axis=1)
     on_face = (np.abs(cx) <= 1.0 + pad) & (np.abs(cy) <= 1.0 + pad)
     keep = (inside | (d2 <= (1.1 * radius + sag) ** 2)) & on_face
     interior = (inside & (d2 > interior_margin ** 2))[keep]
@@ -432,7 +440,13 @@ def split_ring(lats: np.ndarray, lons: np.ndarray,
     lats = np.asarray(lats, dtype=np.float64)
     lons, w = unwrap_ring_lons_winding(np.asarray(lons, dtype=np.float64))
     if w != 0:
-        pole = 90.0 * w
+        # close over the encircled pole, OVERSHOT by 1e-7 deg (~1 cm): a
+        # closure at exactly +-90 leaves no edge straddling a point AT the
+        # pole, so the pole itself would classify outside its own cap
+        # (round-4 review finding); the overshoot makes the two meridian
+        # closure edges straddle lat=+-90 while changing no other point's
+        # parity (no data point lies beyond the pole)
+        pole = (90.0 + 1e-7) * w
         lats = np.concatenate([lats, [pole, pole, lats[0]]])
         lons = np.concatenate([lons, [lons[-1], lons[0], lons[0]]])
     closed = _dedupe_close_ring(lats, lons)
@@ -441,7 +455,6 @@ def split_ring(lats: np.ndarray, lons: np.ndarray,
     la0, lo0 = closed
     if w == 0 and _piece_is_coverable(la0, lo0):
         return [(la0, lo0)]  # fast path: ordinary ring, untouched
-    la0, lo0 = _densify_ring(la0, lo0, max_seg_deg)
     pieces: list = []
     stack = [(la0, lo0, _SPLIT_MAX_DEPTH)]
     while stack:
@@ -449,7 +462,14 @@ def split_ring(lats: np.ndarray, lons: np.ndarray,
         cl = _dedupe_close_ring(la, lo)
         if cl is None:
             continue
-        la, lo = cl
+        # densify BEFORE the coverability check, every level: bisection
+        # keeps introducing cut/closure edges up to a half-span long
+        # (review finding: a 30-deg cut edge carries sag ~0.17 uv, which
+        # blows up _cover_on_face's sag-expanded band and bbox at fine
+        # res), and the check must run on EXACTLY the vertex set the
+        # cover will see — densification adds edge samples that can
+        # discover extra touched faces
+        la, lo = _densify_ring(cl[0], cl[1], max_seg_deg)
         if _piece_is_coverable(la, lo):
             pieces.append((la, lo))
             continue
@@ -472,12 +492,23 @@ def split_ring(lats: np.ndarray, lons: np.ndarray,
 
 def _ring_cover_cells_flagged(lats: np.ndarray, lons: np.ndarray, res: int):
     """Cover of an ARBITRARY valid ring: split_ring pieces covered
-    individually, merged with cell dedupe.  A cell is flagged interior iff
-    it is fully inside SOME piece (pieces have disjoint interiors tiling
-    the ring's interior, so piece-interior implies union-interior; a cell
-    straddling a cut line merely loses the refine shortcut)."""
-    pieces = split_ring(np.asarray(lats, dtype=np.float64),
-                        np.asarray(lons, dtype=np.float64))
+    individually, merged with cell dedupe (see _cover_pieces_flagged)."""
+    return _cover_pieces_flagged(
+        split_ring(np.asarray(lats, dtype=np.float64),
+                   np.asarray(lons, dtype=np.float64)),
+        res,
+    )
+
+
+def _cover_pieces_flagged(pieces: list, res: int):
+    """Merged cover of pre-split pieces — callers that need several
+    resolutions (adaptive covers) or reuse pieces for the refine split
+    ONCE and cover the cached pieces (round-4 review finding: re-running
+    split_ring per res trial repeated seconds of driver numpy per
+    polygon).  A cell is flagged interior iff it is fully inside SOME
+    piece (pieces have disjoint interiors tiling the ring's interior, so
+    piece-interior implies union-interior; a cell straddling a cut line
+    merely loses the refine shortcut)."""
     if not pieces:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
     covers = [_cover_piece_flagged(la, lo, res) for la, lo in pieces]
@@ -614,10 +645,10 @@ def spatial_join(
     10^2-10^4 edges), where per-candidate edge math dominates the refine."""
     spark = points.sparkSession
     prows = polys.select("poly_id", "level", "postcode", "ring").collect()
-    covers = polygon_covers(prows, res)
-    # split_ring: ordinary rings -> one unwrapped piece (fast path);
-    # antimeridian rings unwrap; hemisphere-wide / pole-encircling rings
-    # become piece lists whose even-odd interiors tile the polygon
+    # split_ring ONCE per polygon (ordinary rings -> one unwrapped piece,
+    # fast path; antimeridian rings unwrap; hemisphere-wide /
+    # pole-encircling rings become piece lists whose even-odd interiors
+    # tile the polygon); the SAME pieces feed the cover and the refine
     rings_by_id = {
         r["poly_id"]: split_ring(
             np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
@@ -625,6 +656,12 @@ def spatial_join(
         )
         for r in prows
     }
+    covers = []
+    for r in prows:
+        cells, interior = _cover_pieces_flagged(rings_by_id[r["poly_id"]], res)
+        covers.extend(
+            (r["poly_id"], int(c), bool(i)) for c, i in zip(cells, interior)
+        )
     attrs = [(r["poly_id"], r["level"], r["postcode"]) for r in prows]
     bc = spark.sparkContext.broadcast(rings_by_id)
 
@@ -693,18 +730,24 @@ def adaptive_polygon_covers(
     geometric series dominated by the accepted res — a huge polygon never
     pays for a fine cover it will discard.
 
-    Returns (covers_by_res, res_by_pid): covers_by_res maps res -> list of
-    (poly_id, cell) rows."""
+    Returns (covers_by_res, res_by_pid, pieces_by_pid): covers_by_res
+    maps res -> list of (poly_id, cell) rows; pieces_by_pid carries each
+    polygon's split_ring pieces (split ONCE here — res trials and the
+    caller's refine all reuse them; round-4 review finding)."""
     covers_by_res: dict[int, list] = {}
     res_by_pid: dict = {}
+    pieces_by_pid: dict = {}
     for r in prows:
         pid = r["poly_id"]
-        lats = np.array([p["lat"] for p in r["ring"]], dtype=np.float64)
-        lons = np.array([p["lon"] for p in r["ring"]], dtype=np.float64)
+        pieces = split_ring(
+            np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
+            np.array([p["lon"] for p in r["ring"]], dtype=np.float64),
+        )
+        pieces_by_pid[pid] = pieces
         rr = min_res
-        cells, _ = _ring_cover_cells_flagged(lats, lons, rr)
+        cells, _ = _cover_pieces_flagged(pieces, rr)
         while rr < max_res and len(cells) * 7 <= max_cover_cells:
-            nxt, _ = _ring_cover_cells_flagged(lats, lons, rr + 1)
+            nxt, _ = _cover_pieces_flagged(pieces, rr + 1)
             if len(nxt) > max_cover_cells:
                 break
             rr, cells = rr + 1, nxt
@@ -712,7 +755,7 @@ def adaptive_polygon_covers(
         covers_by_res.setdefault(rr, []).extend(
             (pid, int(c)) for c in cells
         )
-    return covers_by_res, res_by_pid
+    return covers_by_res, res_by_pid, pieces_by_pid
 
 
 def spatial_join_adaptive(
@@ -741,17 +784,10 @@ def spatial_join_adaptive(
     (the cover is a superset at ANY res; the ray-cast refine is exact)."""
     spark = points.sparkSession
     prows = polys.select("poly_id", "level", "postcode", "ring").collect()
-    covers_by_res, _ = adaptive_polygon_covers(
+    covers_by_res, _, rings_by_id = adaptive_polygon_covers(
         prows, max_res=max_res, min_res=min_res,
         max_cover_cells=max_cover_cells,
     )
-    rings_by_id = {
-        r["poly_id"]: split_ring(
-            np.array([p["lat"] for p in r["ring"]], dtype=np.float64),
-            np.array([p["lon"] for p in r["ring"]], dtype=np.float64),
-        )
-        for r in prows
-    }
     attrs = [(r["poly_id"], r["level"], r["postcode"]) for r in prows]
     bc = spark.sparkContext.broadcast(rings_by_id)
 

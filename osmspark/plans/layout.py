@@ -54,6 +54,29 @@ def write_cell_bucketed(
     )
 
 
+def ensure_cell_bucketed(
+    nodes: DataFrame,
+    root: str,
+    res: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Idempotently materialize the cell-bucketed layout under
+    `{root}_r{res}` and return it re-read — the ONE place that encodes
+    the layout path/idempotency convention (res-keyed path, local-fs
+    _SUCCESS marker; an Iceberg catalog would own idempotency instead).
+    Callers (bench, pipeline job) share this instead of each re-encoding
+    the convention (round-4 review finding)."""
+    import os
+
+    path = f"{root}_r{res}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_cell_bucketed(nodes, path, res=res, n_buckets=n_buckets,
+                            lat=lat, lon=lon)
+    return nodes.sparkSession.read.parquet(path)
+
+
 def read_cells(
     spark: SparkSession,
     path: str,

@@ -407,8 +407,9 @@ def test_spatial_join_adaptive_mixed_dim(spark):
                                           for a, o in rect]},
              {"poly_id": "cap", "ring": [{"lat": a, "lon": o}
                                          for a, o in cap]}]
-    covers_by_res, res_by_pid = sj.adaptive_polygon_covers(
+    covers_by_res, res_by_pid, pieces_by_pid = sj.adaptive_polygon_covers(
         prows, max_res=7, min_res=2, max_cover_cells=2048)
+    assert len(pieces_by_pid["rect"]) == 1 and len(pieces_by_pid["cap"]) > 1
     assert res_by_pid["rect"] == 7          # small polygon -> finest res
     assert res_by_pid["cap"] < 7            # huge polygon -> coarser res
     from collections import Counter

@@ -15,29 +15,20 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 N_TRIALS = int(os.environ.get("OSMSPARK_BENCH_TRIALS", "2"))
 
-
-def _read_steal():
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(v) for v in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
-    except Exception:
-        return 0, 1
+# ONE timing/steal protocol for every artifact: reuse bench.py's helper so
+# a steal-accounting fix there reaches these numbers too (round-4 review
+# finding — a local reimplementation would drift silently)
+from bench import timed as _bench_timed  # noqa: E402
 
 
 def timed(fn):
-    s0, j0 = _read_steal()
-    t0 = time.time()
-    fn()
-    dt = time.time() - t0
-    s1, j1 = _read_steal()
-    return round(dt, 3), round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2)
+    _, dt, steal = _bench_timed(fn)
+    return dt, steal
 
 
 def main() -> None:
