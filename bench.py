@@ -270,6 +270,45 @@ def main() -> None:
     extra_steals["ivf_gemm_100kq"] = s_ivf
     vecs.unpersist()
 
+    # adaptive PIP join over a MIXED-SIZE dim (the round-4 continent path):
+    # the km-scale zip/admin grid PLUS an Antarctica-style polar cap and a
+    # 150-deg-wide box containing the whole city — per-polygon cover res
+    # keeps the broadcast cover bounded while the wide box floods the
+    # refine with every point as a candidate (the realistic worst case of
+    # a global polygon over a dense region)
+    import math
+
+    from osmspark.operators.spatial_join import spatial_join_adaptive
+
+    cap = [(-65.0 + 4.0 * math.sin(math.radians(2.0 * lo)), float(lo))
+           for lo in range(-180, 181, 10)][::-1]
+    box = ([(-10.0, float(lo)) for lo in range(0, 151, 30)]
+           + [(40.0, float(lo)) for lo in range(150, -1, -30)]
+           + [(-10.0, 0.0)])
+    extra_polys = spark.createDataFrame(
+        [("polar_cap", "admin",
+          [{"lat": a, "lon": o} for a, o in cap], None),
+         ("wide_box", "admin",
+          [{"lat": a, "lon": o} for a, o in box], None)],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    mixed_dim = polys.unionByName(extra_polys)
+
+    def q_pip_adaptive():
+        return (
+            spatial_join_adaptive(nodes.select("id", "lat", "lon"),
+                                  mixed_dim, max_res=8, min_res=3,
+                                  max_cover_cells=8192)
+            .groupBy("poly_id").agg(F.count("*").alias("cnt")).count()
+        )
+
+    q_pip_adaptive()  # warm
+    ad_runs = [timed(q_pip_adaptive) for _ in range(2)]
+    _, t_ad, s_ad = min(ad_runs, key=lambda r: r[1])
+    extras["pip_adaptive_mixed_dim"] = t_ad
+    extra_steals["pip_adaptive_mixed_dim"] = s_ad
+
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(
         n_docs / (queries["span_extract_snapshot"]
