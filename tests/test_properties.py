@@ -92,3 +92,114 @@ def test_ranges_property(counts):
     out = _ranges(np.array(counts, dtype=np.int64))
     exp = [i for c in counts for i in range(c)]
     assert out.tolist() == exp
+
+
+# --- round-4 split_ring invariants (pure numpy, no SparkSession) -----------
+from osmspark.operators.spatial_join import (  # noqa: E402
+    _clip_halfplane, _pip_single_ring, split_ring,
+)
+
+
+def _star_ring(seed, center_lat, center_lon, scale):
+    """Random star-shaped closed ring (possibly concave, possibly wide)."""
+    rng = np.random.default_rng(seed)
+    nv = int(rng.integers(4, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    rad = rng.uniform(0.3, 1.0, nv) * scale
+    la = np.clip(center_lat + rad * np.sin(ang), -89.0, 89.0)
+    lo = center_lon + rad * np.cos(ang) * 1.5
+    la = np.append(la, la[0])
+    lo = np.append(lo, lo[0])
+    return la, lo
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_clip_halfplane_preserves_parity(seed):
+    """Sutherland-Hodgman half-plane clip invariant: for ANY point not on
+    the cut line, (in left piece) XOR-counted membership across the two
+    pieces equals membership in the original ring, and no point is in
+    both pieces."""
+    rng = np.random.default_rng(seed)
+    la, lo = _star_ring(seed, rng.uniform(-40, 40), rng.uniform(-90, 90),
+                        rng.uniform(2.0, 25.0))
+    axis = int(rng.integers(0, 2))
+    vals = la if axis == 0 else lo
+    c = float(rng.uniform(vals.min(), vals.max()))
+    pieces = [p for p in
+              (_clip_halfplane(la, lo, axis, c, True),
+               _clip_halfplane(la, lo, axis, c, False)) if p is not None]
+    py = rng.uniform(la.min() - 1, la.max() + 1, 600)
+    px = rng.uniform(lo.min() - 1, lo.max() + 1, 600)
+    # exclude points exactly on the cut line (measure zero anyway)
+    keep = np.abs((py if axis == 0 else px) - c) > 1e-9
+    py, px = py[keep], px[keep]
+    counts = np.zeros(len(py), dtype=np.int64)
+    for rl, rlon in pieces:
+        counts += _pip_single_ring(py, px, rl, rlon).astype(np.int64)
+    exp = _pip_single_ring(py, px, la, lo)
+    assert (counts <= 1).all()
+    assert ((counts == 1) == exp).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_split_ring_tiles_wide_rings(seed):
+    """split_ring invariant on random wide (possibly >180-deg) rings with
+    short edges: pieces have disjoint interiors whose union equals the
+    original ring's crossing-number interior."""
+    rng = np.random.default_rng(seed)
+    la, lo = _star_ring(seed, rng.uniform(-30, 30), rng.uniform(-60, 60),
+                        rng.uniform(30.0, 70.0))
+    # densify so consecutive lon deltas stay < 180 (input convention)
+    out_la, out_lo = [], []
+    for i in range(len(la) - 1):
+        n = max(int(abs(lo[i + 1] - lo[i]) // 60) + 1, 1)
+        t = np.arange(n) / n
+        out_la.append(la[i] + t * (la[i + 1] - la[i]))
+        out_lo.append(lo[i] + t * (lo[i + 1] - lo[i]))
+    la = np.append(np.concatenate(out_la), la[-1])
+    lo = np.append(np.concatenate(out_lo), lo[-1])
+    pieces = split_ring(la, lo)
+    assert pieces
+    py = rng.uniform(la.min() - 2, la.max() + 2, 800)
+    px = rng.uniform(lo.min() - 2, lo.max() + 2, 800)
+    counts = np.zeros(len(py), dtype=np.int64)
+    for rl, rlon in pieces:
+        counts += _pip_single_ring(py, px, rl, rlon).astype(np.int64)
+    exp = _pip_single_ring(py, px, la, lo)
+    assert (counts <= 1).all()
+    assert ((counts == 1) == exp).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.booleans())
+def test_split_ring_polar_winding(seed, eastward):
+    """Pole-encircling rings: the pieces tile the region between the
+    curve and the encircled pole (north for eastward traversal, south for
+    westward), checked against lat-vs-curve ground truth away from the
+    boundary band."""
+    rng = np.random.default_rng(seed)
+    base = float(rng.uniform(-75, -45))
+    amp = float(rng.uniform(0.0, 6.0))
+    freq = int(rng.integers(1, 4))
+    phase = float(rng.uniform(0, 2 * np.pi))
+    lon_grid = np.arange(-180.0, 180.1, 5.0)
+    curve = base + amp * np.sin(np.radians(freq * lon_grid) + phase)
+    la, lo = curve.copy(), lon_grid.copy()
+    if not eastward:
+        la, lo = la[::-1], lo[::-1]
+    pieces = split_ring(la, lo)
+    assert len(pieces) >= 1
+    py = rng.uniform(-89.5, 20.0, 800)
+    px = rng.uniform(-180.0, 180.0, 800)
+    f = base + amp * np.sin(np.radians(freq * px) + phase)
+    keep = np.abs(py - f) > 1.0  # clear of interpolation-convention band
+    py, px, f = py[keep], px[keep], f[keep]
+    counts = np.zeros(len(py), dtype=np.int64)
+    for rl, rlon in pieces:
+        counts += _pip_single_ring(py, px, rl, rlon).astype(np.int64)
+    exp = (py > f) if eastward else (py < f)
+    assert (counts <= 1).all()
+    assert ((counts == 1) == exp).all()
