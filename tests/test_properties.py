@@ -96,7 +96,7 @@ def test_ranges_property(counts):
 
 # --- round-4 split_ring invariants (pure numpy, no SparkSession) -----------
 from osmspark.operators.spatial_join import (  # noqa: E402
-    _clip_halfplane, _pip_single_ring, split_ring,
+    _clip_halfplane, _densify_ring, _pip_single_ring, split_ring,
 )
 
 
@@ -151,15 +151,9 @@ def test_split_ring_tiles_wide_rings(seed):
     rng = np.random.default_rng(seed)
     la, lo = _star_ring(seed, rng.uniform(-30, 30), rng.uniform(-60, 60),
                         rng.uniform(30.0, 70.0))
-    # densify so consecutive lon deltas stay < 180 (input convention)
-    out_la, out_lo = [], []
-    for i in range(len(la) - 1):
-        n = max(int(abs(lo[i + 1] - lo[i]) // 60) + 1, 1)
-        t = np.arange(n) / n
-        out_la.append(la[i] + t * (la[i + 1] - la[i]))
-        out_lo.append(lo[i] + t * (lo[i + 1] - lo[i]))
-    la = np.append(np.concatenate(out_la), la[-1])
-    lo = np.append(np.concatenate(out_lo), lo[-1])
+    # densify so consecutive lon deltas stay < 180 (input convention) —
+    # the module's own helper, not a drift-prone copy
+    la, lo = _densify_ring(la, lo, 60.0)
     pieces = split_ring(la, lo)
     assert pieces
     py = rng.uniform(la.min() - 2, la.max() + 2, 800)
