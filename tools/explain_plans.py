@@ -162,6 +162,28 @@ def main() -> None:
          ("no driver-built rows", lambda p: "LocalTableScan" not in p)],
     )
 
+    from osmspark.operators.spatial_join import spatial_join_adaptive
+
+    wide = spark.createDataFrame(
+        [("wide", "admin",
+          [{"lat": a, "lon": o} for a, o in
+           [(-10.0, 60.0), (-10.0, 105.0), (-10.0, 150.0), (40.0, 150.0),
+            (40.0, 105.0), (40.0, 60.0), (-10.0, 60.0)]], None)],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+    add(
+        "Adaptive mixed-res PIP join (round 4 — per-polygon cover res)",
+        spatial_join_adaptive(nodes.select("id", "lat", "lon"),
+                              polys.unionByName(wide),
+                              max_res=8, min_res=4, max_cover_cells=512),
+        ["BroadcastHashJoin",
+         ("one candidate join per distinct res, unioned (the 90-deg box "
+          "takes coarse cells, the km-scale grid stays fine)",
+          lambda p: "Union" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
     from osmspark.operators.textstats import stratified_sample
 
     add(
