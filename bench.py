@@ -315,6 +315,25 @@ def main() -> None:
     extras["pip_adaptive_mixed_dim"] = t_ad
     extra_steals["pip_adaptive_mixed_dim"] = s_ad
 
+    # within-distance (radius) join, round-4 B5b: 5000 query disks of 2 km
+    # over the full node set — per-query local-scale ring counts, Arrow
+    # disk-cell generation, equi-join on cell, native haversine filter.
+    # count() forces the full membership set (output-row bound, unlike
+    # kNN's top-k cut)
+    from osmspark.operators.radius_join import within_distance_join
+
+    radius_qs = nodes.limit(5000).select(
+        F.col("id").alias("query_id"), "lat", "lon")
+
+    def q_radius_5k():
+        return within_distance_join(
+            nodes.select("id", "lat", "lon"), radius_qs, 2000.0).count()
+
+    q_radius_5k()  # warm
+    _, t_rad, s_rad = best_of(q_radius_5k)
+    extras["radius_join_2km_5000q"] = t_rad
+    extra_steals["radius_join_2km_5000q"] = s_rad
+
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(
         n_docs / (queries["span_extract_snapshot"]

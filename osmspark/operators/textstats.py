@@ -246,6 +246,80 @@ def stratified_sample(docs: DataFrame, strata_col: str,
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, per document — the filter
+    family a corpus build applies before training (Rae et al. 2021 §A1.1:
+    fraction of duplicate tokens / characters-in-duplicate-n-grams): emits
+    (doc_id, n_tokens, n_distinct_tokens, top_ngram, top_ngram_n,
+    dup_ngram_n) where top_ngram is the most frequent word n-gram
+    (lexicographically smallest on ties), top_ngram_n its occurrence
+    count, and dup_ngram_n the number of n-gram occurrences whose n-gram
+    appears more than once.  Callers derive the Gopher fractions
+    (dup_ngram_n / (n_tokens - n + 1), ...) — counts are emitted instead
+    of ratios so the oracle compare is integer-exact.
+
+    ALL NATIVE and purely map-side: tokens -> n-gram array (slice +
+    concat_ws) -> array_sort -> ONE aggregate() walking the sorted array
+    with a struct accumulator that tracks the current run length, the
+    best run, and the duplicated-occurrence count (run==2 adds both
+    occurrences, each further repeat adds one — no finish step needed).
+    O(G log G) per row inside whole-stage codegen, zero shuffle: at 10^12
+    docs this pipelines inside the scan stage like chunk_documents."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    s1 = docs.select(F.col(id_col), toks.alias("__toks"))
+    s1 = s1.select(id_col, "__toks", F.size("__toks").alias("__n"))
+    # sequence(1, stop) counts DOWN when stop < 1 — guard short docs to an
+    # empty gram array instead
+    grams = F.when(
+        F.col("__n") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit("").alias("prev"),          # grams are never "" (tokens aren't)
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("best_n"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        dup = acc["dup"] + (
+            F.when(run == 2, F.lit(2))
+            .when(run > 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        better = run > acc["best_n"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            dup.alias("dup"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["best_n"]).alias("best_n"),
+        )
+
+    rep = F.aggregate(F.array_sort(grams), zero, step)
+    s2 = s1.select(id_col, "__toks", "__n", rep.alias("__rep"))
+    return s2.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        F.when(F.col("__rep.best_n") > 0, F.col("__rep.best"))
+        .alias("top_ngram"),
+        F.col("__rep.best_n").alias("top_ngram_n"),
+        F.col("__rep.dup").alias("dup_ngram_n"),
+    )
+
+
 _MASK63 = (1 << 63) - 1  # clear the sign bit -> non-negative fingerprints
 
 

@@ -596,3 +596,54 @@ def test_decontaminate(spark):
     assert abs(out[1]["overlap"] - 1 / 3) < 1e-9 and not out[1]["contaminated"]
     assert out[2]["overlap"] == 0.0 and not out[2]["contaminated"]
     assert out[3]["n_sh"] == 0 and out[3]["overlap"] == 0.0
+
+
+def _rep_oracle(text, n=2):
+    toks = [t for t in text.lower().strip().split() if t]
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    from collections import Counter
+    c = Counter(grams)
+    top = min(((-v, g) for g, v in c.items()), default=None)
+    dup = sum(v for v in c.values() if v >= 2)
+    return (len(toks), len(set(toks)),
+            top[1] if top else None, -top[0] if top else 0, dup)
+
+
+def test_repetition_stats_vs_python_oracle(texts):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"],
+                         r["top_ngram"], r["top_ngram_n"], r["dup_ngram_n"])
+           for r in textstats.repetition_stats(texts).collect()}
+    for r in texts.collect():
+        assert got[r["doc_id"]] == _rep_oracle(r["text"]), r["doc_id"]
+
+
+def test_repetition_stats_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),        # top bigram 'a b' x3; 'b a' x2; dup all 5
+         (1, "x y z"),              # no repeats
+         (2, "w"),                  # single token -> no bigrams
+         (3, ""),                   # empty
+         (4, "t t t t")],           # 't t' x3
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert (got[0]["top_ngram"], got[0]["top_ngram_n"],
+            got[0]["dup_ngram_n"]) == ("a b", 3, 5)
+    assert got[1]["top_ngram_n"] == 1 and got[1]["dup_ngram_n"] == 0
+    assert got[2]["top_ngram"] is None and got[2]["top_ngram_n"] == 0
+    assert got[3]["n_tokens"] == 0 and got[3]["top_ngram"] is None
+    assert (got[4]["top_ngram"], got[4]["top_ngram_n"],
+            got[4]["dup_ngram_n"]) == ("t t", 3, 3)
+
+
+def test_repetition_stats_trigram_and_plan(texts):
+    """n=3 path agrees with the python oracle; the whole operator is
+    native and map-side (no Python eval, no Exchange)."""
+    got = {r["doc_id"]: (r["top_ngram"], r["top_ngram_n"], r["dup_ngram_n"])
+           for r in textstats.repetition_stats(texts, n=3).collect()}
+    for r in texts.collect():
+        _, _, tg, tn, dn = _rep_oracle(r["text"], n=3)
+        assert got[r["doc_id"]] == (tg, tn, dn), r["doc_id"]
+    out = textstats.repetition_stats(texts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "Exchange" not in plan, plan

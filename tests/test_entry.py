@@ -21,8 +21,9 @@ def test_every_oracle_has_a_query():
 
 def test_sampled_queries_run(spark):
     q = em.queries()
-    # exact_dedup_stats retired from the budget round 4; exact_dedup_keep
-    # gates the same semantics through the engine operator
-    for name in ["street_norm_counts", "tpch_q1", "exact_dedup_keep"]:
+    # exact_dedup_stats + street_norm_counts retired from the budget round
+    # 4; exact_dedup_keep / street_norm_counts_engine gate the same
+    # semantics through the engine operators
+    for name in ["street_norm_counts_engine", "tpch_q1", "exact_dedup_keep"]:
         df = q[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0

@@ -1,0 +1,116 @@
+"""B5b radius join (hex disk cover == brute-force crossJoin filter)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmspark.functions.geo import haversine_m, sq_deg_dist
+from osmspark.operators import radius_join as rj
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    pts = [("q0", 1.29, 103.85), ("q1", 1.35, 103.69), ("q2", 1.44, 103.79),
+           ("q3", 1.20, 104.05), ("q4", 1.50, 103.62)]
+    return spark.createDataFrame(pts, "query_id string, lat double, lon double")
+
+
+def _brute(points, queries, radius, metric):
+    j = points.select(
+        F.col("id").alias("point_id"),
+        F.col("lat").alias("plat"), F.col("lon").alias("plon"),
+    ).crossJoin(F.broadcast(queries.select(
+        "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
+    )))
+    if metric == "haversine":
+        d = haversine_m(F.col("qlat"), F.col("qlon"),
+                        F.col("plat"), F.col("plon"))
+        keep = d <= radius
+    else:
+        d = sq_deg_dist(F.col("qlat"), F.col("qlon"),
+                        F.col("plat"), F.col("plon"))
+        keep = d <= radius * radius
+    return {(r["query_id"], r["point_id"])
+            for r in j.where(keep).collect()}
+
+
+def test_radius_join_equals_bruteforce_haversine(nodes, queries):
+    pts = nodes.select("id", "lat", "lon")
+    got = {(r["query_id"], r["point_id"])
+           for r in rj.within_distance_join(pts, queries, 3000.0).collect()}
+    want = _brute(pts, queries, 3000.0, "haversine")
+    assert got == want
+    assert len(want) > 0  # non-vacuous
+
+
+def test_radius_join_equals_bruteforce_sq_deg(nodes, queries):
+    pts = nodes.select("id", "lat", "lon")
+    got = {(r["query_id"], r["point_id"])
+           for r in rj.within_distance_join(
+               pts, queries, 0.04, metric="sq_deg").collect()}
+    want = _brute(pts, queries, 0.04, "sq_deg")
+    assert got == want
+    assert len(want) > 0
+
+
+def test_radius_join_res_invariant(nodes, queries):
+    """Exactness must not depend on the prefilter resolution — a coarser
+    pinned res changes only the candidate volume."""
+    pts = nodes.select("id", "lat", "lon")
+    auto = {(r["query_id"], r["point_id"])
+            for r in rj.within_distance_join(pts, queries, 2000.0).collect()}
+    coarse = {(r["query_id"], r["point_id"])
+              for r in rj.within_distance_join(
+                  pts, queries, 2000.0, res=6).collect()}
+    assert auto == coarse
+
+
+def test_radius_pairs_equals_brute(nodes):
+    pts = nodes.select("id", "lat", "lon").limit(200)
+    got = {(r["a"], r["b"])
+           for r in rj.within_distance_pairs(pts, 4000.0).collect()}
+    rows = [(r["id"], r["lat"], r["lon"]) for r in pts.collect()]
+    want = set()
+    for i, (ia, la, lo) in enumerate(rows):
+        for ib, lb, lob in rows[i + 1:]:
+            dlat = math.radians(lb - la) / 2
+            dlon = math.radians(lob - lo) / 2
+            a = (math.sin(dlat) ** 2
+                 + math.cos(math.radians(la)) * math.cos(math.radians(lb))
+                 * math.sin(dlon) ** 2)
+            d = 2 * 6371008.8 * math.asin(math.sqrt(a))
+            if d <= 4000.0:
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_radius_join_too_fine_res_raises(nodes, queries):
+    """A user-pinned res too fine for the radius must raise loudly (the
+    executor-side guard), not silently fan out thousands of cells."""
+    from py4j.protocol import Py4JJavaError
+
+    pts = nodes.select("id", "lat", "lon")
+    with pytest.raises(Exception) as ei:
+        rj.within_distance_join(pts, queries, 50000.0, res=12).collect()
+    assert "within_distance_join" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError)
+
+
+def test_radius_join_no_cartesian(nodes, queries):
+    """The candidate join must be an equi-join on the cell key — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    pts = nodes.select("id", "lat", "lon")
+    out = rj.within_distance_join(pts, queries, 3000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_auto_res_monotone():
+    """Smaller radii -> finer (>=) resolution; huge radii -> coarse."""
+    rs = [rj.auto_res(m) for m in (100.0, 1000.0, 10000.0, 100000.0)]
+    assert rs == sorted(rs, reverse=True)
+    assert rs[0] > rs[-1]
+    assert all(0 <= r <= 15 for r in rs)
