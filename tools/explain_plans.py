@@ -199,6 +199,35 @@ def main() -> None:
          ("ZERO Python", lambda p: "EvalPython" not in p)],
     )
 
+    from osmspark.operators.radius_join import within_distance_join
+
+    rq = nodes.limit(50).select(F.col("id").alias("query_id"), "lat", "lon")
+    add(
+        "Within-distance radius join (round-4 B5b — hex disk cover)",
+        within_distance_join(nodes.select("id", "lat", "lon"), rq, 2000.0),
+        [("candidate join is an equi-join on the cell key",
+          lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p),
+         ("point cell assignment native; Python only for per-query disk "
+          "generation (local-scale + kring UDFs)",
+          lambda p: "ArrowEvalPython" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p),
+         ("exact distance filter in codegen",
+          lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
+    )
+
+    from osmspark.operators.textstats import repetition_stats
+
+    add(
+        "Repetition filters (round-4 Gopher signals — one aggregate over "
+        "the sorted n-gram array)",
+        repetition_stats(flat.select("doc_id", "text")),
+        [("ZERO Python (pure codegen)", lambda p: "EvalPython" not in p),
+         ("map-side only — no shuffle", lambda p: "Exchange" not in p),
+         ("whole-stage codegen",
+          lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
