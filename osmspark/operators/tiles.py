@@ -134,3 +134,85 @@ def int_tile_counts(points: DataFrame, cell_deg_u: int = 4000,
         .groupBy("tile_x", "tile_y")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _inv_mercator(mx, my):
+    """[0,1)^2 Web-Mercator -> (lat, lon) degrees (numpy)."""
+    lon = mx * 360.0 - 180.0
+    lat = np.degrees(2.0 * np.arctan(np.exp((0.5 - my) * 2.0 * math.pi))
+                     - math.pi / 2.0)
+    return lat, lon
+
+
+def vectorize_raster(tiles: DataFrame, threshold: int,
+                     px: int = 64) -> DataFrame:
+    """Raster -> VECTOR features: the reverse arrow of B6's raster<->vector
+    pair.  Per tile, 4-connected components of pixels with count >=
+    threshold become features (zoom, tile_x, tile_y, feature_id, n_pixels,
+    total_count, ring) where `ring` is the component's pixel-aligned
+    bounding box as a closed lat/lon ring — schema-compatible with the
+    spatial_join polygon dim, so extracted hotspots feed straight back
+    into the PIP join.
+
+    Scale shape: the input is already one row per tile, so this is
+    mapInPandas — ZERO shuffle, embarrassingly parallel, work per row
+    bounded by px^2 (the BFS labeling touches each pixel once).
+    feature_id is deterministic: components ordered by (min_py, min_px)
+    scan order inside their tile."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+
+    def vectorize(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for _, r in pdf.iterrows():
+                z = int(r["zoom"])
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                grid = np.asarray(r["raster"], dtype=np.int64).reshape(px, px)
+                mask = grid >= threshold
+                seen = np.zeros_like(mask)
+                fid = 0
+                ys_all, xs_all = np.nonzero(mask)
+                for y0, x0 in zip(ys_all, xs_all):
+                    if seen[y0, x0]:
+                        continue
+                    stack = [(int(y0), int(x0))]
+                    seen[y0, x0] = True
+                    comp = []
+                    while stack:
+                        y, x = stack.pop()
+                        comp.append((y, x))
+                        for ny, nx in ((y + 1, x), (y - 1, x),
+                                       (y, x + 1), (y, x - 1)):
+                            if (0 <= ny < px and 0 <= nx < px
+                                    and mask[ny, nx] and not seen[ny, nx]):
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                    cy = np.array([c[0] for c in comp])
+                    cx = np.array([c[1] for c in comp])
+                    # pixel-edge bbox in tile fractions -> mercator -> latlon
+                    n = float(1 << z)
+                    fx = np.array([cx.min(), cx.max() + 1], dtype=np.float64) / px
+                    fy = np.array([cy.min(), cy.max() + 1], dtype=np.float64) / px
+                    la, lo = _inv_mercator((tx + fx) / n, (ty + fy) / n)
+                    # mercator y grows SOUTH: fy[0] is the northern edge
+                    ring = [
+                        {"lat": la[0], "lon": lo[0]},
+                        {"lat": la[0], "lon": lo[1]},
+                        {"lat": la[1], "lon": lo[1]},
+                        {"lat": la[1], "lon": lo[0]},
+                        {"lat": la[0], "lon": lo[0]},
+                    ]
+                    out.append((z, tx, ty, fid, len(comp),
+                                int(grid[cy, cx].sum()), ring))
+                    fid += 1
+            yield pd.DataFrame(
+                out, columns=["zoom", "tile_x", "tile_y", "feature_id",
+                              "n_pixels", "total_count", "ring"])
+
+    return tiles.mapInPandas(
+        vectorize,
+        schema="zoom int, tile_x int, tile_y int, feature_id int, "
+               "n_pixels long, total_count long, "
+               "ring array<struct<lat:double,lon:double>>",
+    )

@@ -148,3 +148,67 @@ def test_knn_preindexed_wrong_res_raises(nodes, queries):
     with _pytest.raises(ValueError, match="res=9"):
         knn.knn_kring(pts, queries, k=10, res=9,
                       points_cell_col="cell_r8").collect()
+
+
+def test_vectorize_raster_components(spark):
+    """Hand-built raster: two blobs + isolated sub-threshold pixels ->
+    exactly the expected components, counts, and bbox rings."""
+    import numpy as np
+
+    px = 8
+    grid = np.zeros((px, px), dtype=np.int64)
+    grid[1, 1] = 5          # blob A: single pixel
+    grid[4:6, 3:6] = 2      # blob B: 2x3 rectangle
+    grid[4, 4] = 7          # inside blob B
+    grid[7, 7] = 1          # sub-threshold (threshold=2)
+    df = spark.createDataFrame(
+        [(12, 100, 200, [int(v) for v in grid.ravel()])],
+        "zoom int, tile_x int, tile_y int, raster array<long>")
+    feats = sorted(
+        tiles.vectorize_raster(df, threshold=2, px=px).collect(),
+        key=lambda r: r["feature_id"])
+    assert len(feats) == 2
+    a, b = feats
+    assert (a["n_pixels"], a["total_count"]) == (1, 5)
+    assert (b["n_pixels"], b["total_count"]) == (6, 2 * 6 + 5)
+    for f in feats:
+        ring = f["ring"]
+        assert len(ring) == 5 and ring[0] == ring[-1]
+        # northern edge first (mercator y grows south)
+        assert ring[0]["lat"] > ring[2]["lat"]
+        assert ring[0]["lon"] < ring[1]["lon"]
+
+
+def test_vectorize_raster_roundtrip(nodes, spark):
+    """points -> raster -> features at threshold=1: every point falls in
+    some feature bbox of its own tile, and total pixel counts match."""
+    zoom, px = 12, 16
+    pts = nodes.select("lat", "lon").limit(500).cache()
+    rast = tiles.render_density_tiles(pts, zoom=zoom, px=px)
+    feats = tiles.vectorize_raster(rast, threshold=1, px=px).collect()
+    total = sum(f["total_count"] for f in feats)
+    assert total == pts.count()
+    by_tile = {}
+    for f in feats:
+        by_tile.setdefault((f["tile_x"], f["tile_y"]), []).append(f["ring"])
+    for r in tiles.with_tile(pts, zoom).collect():
+        rings = by_tile[(r["tile_x"], r["tile_y"])]
+        hit = any(
+            min(p["lat"] for p in ring) - 1e-9 <= r["lat"]
+            <= max(p["lat"] for p in ring) + 1e-9
+            and min(p["lon"] for p in ring) - 1e-9 <= r["lon"]
+            <= max(p["lon"] for p in ring) + 1e-9
+            for ring in rings)
+        assert hit, (r["lat"], r["lon"])
+    pts.unpersist()
+
+
+def test_vectorize_raster_no_shuffle(spark):
+    """The input is already one row per tile: vectorization must add NO
+    Exchange (mapInPandas, not a grouped shuffle)."""
+    df = spark.createDataFrame(
+        [(12, 0, 0, [0] * 64)],
+        "zoom int, tile_x int, tile_y int, raster array<long>")
+    out = tiles.vectorize_raster(df, threshold=1, px=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
