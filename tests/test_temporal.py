@@ -1,0 +1,105 @@
+"""As-of join: engine result == DuckDB's native ASOF JOIN on the same
+data, both directions, plus tolerance and edge cases."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from osmspark.operators.temporal import asof_join
+
+
+def _mkdata():
+    # deterministic LCG; duplicate timestamps on purpose (tie semantics)
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 48271) % 2147483647
+            yield x
+
+    g = lcg(7)
+    left = [(k, next(g) % 500, i) for i in range(120) for k in ("a", "b")]
+    right = [(k, next(g) % 500, 1000 + i) for i in range(80) for k in ("a", "b")]
+    return left, right
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left, right = _mkdata()
+    ldf = spark.createDataFrame(left, "k string, ts long, lval long")
+    rdf = spark.createDataFrame(right, "k string, ts long, rval long")
+    return ldf, rdf, left, right
+
+
+def _duck_asof(left, right, direction):
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(left, columns=["k", "ts", "lval"]))
+    con.register("r", pd.DataFrame(right, columns=["k", "ts", "rval"]))
+    op = ">=" if direction == "backward" else "<="
+    rows = con.sql(
+        f"SELECT l.k, l.ts, l.lval, r.ts AS rts, r.rval "
+        f"FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts {op} r.ts"
+    ).fetchall()
+    return {(k, ts, lv): (rts, rv) for k, ts, lv, rts, rv in rows}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_duckdb(frames, direction):
+    """DuckDB ships a native ASOF JOIN — an independent engine oracle.
+    Duplicate right timestamps: DuckDB picks an arbitrary row among
+    equal-ts matches, so compare on the matched TIMESTAMP (the as-of
+    semantics), not the payload."""
+    ldf, rdf, left, right = frames
+    got = {
+        (r["k"], r["ts"], r["lval"]): r["ts_right"]
+        for r in asof_join(ldf, rdf, on="ts", by="k",
+                           direction=direction).collect()
+    }
+    want = _duck_asof(left, right, direction)
+    assert set(got) == set(want)
+    for key, rts in got.items():
+        assert rts == want[key][0], (key, rts, want[key])
+
+
+def test_asof_join_python_oracle_with_tolerance(frames):
+    ldf, rdf, left, right = frames
+    got = {
+        (r["k"], r["ts"], r["lval"]): (r["ts_right"], r["rval_right"])
+        for r in asof_join(ldf, rdf, on="ts", by="k",
+                           tolerance=25).collect()
+    }
+    by_key: dict = {}
+    for k, ts, rv in right:
+        by_key.setdefault(k, []).append((ts, rv))
+    for k in by_key:
+        by_key[k].sort()
+    for (k, ts, lv), (rts, rv) in got.items():
+        cands = [(t, v) for t, v in by_key.get(k, []) if t <= ts]
+        if not cands or ts - max(cands)[0] > 25:
+            assert rts is None and rv is None, (k, ts)
+        else:
+            best_t = max(cands)[0]
+            assert rts == best_t
+            # deterministic tiebreak: max struct among equal-ts rows
+            assert rv == max(v for t, v in cands if t == best_t)
+
+
+def test_asof_join_exact_ts_matches_and_no_match(spark):
+    ldf = spark.createDataFrame(
+        [("a", 10, 1), ("a", 5, 2), ("b", 3, 3)], "k string, ts long, lval long")
+    rdf = spark.createDataFrame(
+        [("a", 10, 100), ("a", 7, 101)], "k string, ts long, rval long")
+    got = {(r["k"], r["ts"]): r["rval_right"]
+           for r in asof_join(ldf, rdf, on="ts", by="k").collect()}
+    assert got[("a", 10)] == 100      # exact timestamp matches (<=)
+    assert got[("a", 5)] is None      # nothing at or before 5
+    assert got[("b", 3)] is None      # key with no right rows at all
+    assert len(got) == 3              # every left row survives
+
+
+def test_asof_join_plan_native(frames):
+    ldf, rdf, _, _ = frames
+    out = asof_join(ldf, rdf, on="ts", by="k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
