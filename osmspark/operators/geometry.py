@@ -24,6 +24,8 @@ n_resolved report the damage so audits can threshold on completeness.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,4 +113,133 @@ def length_by_street_type(ways: DataFrame, nodes: DataFrame,
             F.count("*").alias("n_ways"),
             F.sum("length_m").alias("total_m"),
         )
+    )
+
+
+def simplify_ways(ways: DataFrame, nodes: DataFrame,
+                  epsilon_m: float,
+                  way_id: str = "id", node_id: str = "id") -> DataFrame:
+    """Douglas-Peucker polyline simplification per way — the vector-side
+    reduction feeding low-zoom tile rendering (render every way at full
+    node count at zoom 8 and the raster stage drowns in points whose
+    pixel distance is zero).
+
+    Output: (way_id, n_points, n_kept, runs) where `runs` is an array of
+    simplified sub-polylines (array<array<struct<lat,lon>>>) — one run
+    per maximal RESOLVED stretch of the nd chain, split at dangling refs
+    exactly like way_geometry (simplifying across a gap would fabricate
+    a shortcut through unknown geometry).  DP guarantee per run: every
+    dropped point lies within epsilon_m of the simplified polyline.
+
+    Scale shape: the chain reassembly is the same join + bounded groupBy
+    as way_geometry; DP itself is one Arrow pandas UDF over the chain
+    column — per-row work is O(n^2) worst / O(n log n) typical in the
+    way's OWN length (OSM caps ways at 2000 nodes), embarrassingly
+    parallel across ways.  Distances use a per-run equirectangular frame
+    (meters, cos-scaled at the run's mean latitude) — exact to ~0.1% at
+    way scale, which is inside any sane epsilon."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..config import EARTH_RADIUS_M
+
+    if epsilon_m < 0:
+        raise ValueError("epsilon_m must be >= 0")
+
+    refs = ways.select(
+        F.col(way_id).alias("way_id"),
+        F.posexplode_outer("nd").alias("seq", "__ref"),
+    )
+    pts = nodes.select(
+        F.col(node_id).alias("__ref"),
+        F.col("lat").alias("__lat"),
+        F.col("lon").alias("__lon"),
+    )
+    chains = (
+        refs.join(pts, "__ref", "left")
+        .groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "__lat", "__lon"))
+            ).alias("__chain")
+        )
+    )
+
+    def _dp_mask(xy: "np.ndarray", eps: float) -> "np.ndarray":
+        n = len(xy)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            seg = xy[b] - xy[a]
+            L2 = float(seg @ seg)
+            mid = xy[a + 1:b] - xy[a]
+            if L2 == 0.0:
+                d2 = (mid ** 2).sum(axis=1)
+            else:
+                t = np.clip((mid @ seg) / L2, 0.0, 1.0)
+                proj = np.outer(t, seg)
+                d2 = ((mid - proj) ** 2).sum(axis=1)
+            i = int(np.argmax(d2))
+            if d2[i] > eps * eps:
+                k = a + 1 + i
+                keep[k] = True
+                stack.append((a, k))
+                stack.append((k, b))
+        return keep
+
+    ret_type = T.StructType([
+        T.StructField("n_points", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("runs", T.ArrayType(T.ArrayType(T.StructType([
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+        ])))),
+    ])
+
+    @F.pandas_udf(ret_type)
+    def simplify(chain):  # pd.Series[list[dict]] -> pd.DataFrame (struct)
+        n_pts, n_kept, runs_out = [], [], []
+        for ch in chain:
+            lats = np.array(
+                [np.nan if c["__lat"] is None else c["__lat"] for c in ch],
+                dtype=np.float64)
+            lons = np.array(
+                [np.nan if c["__lon"] is None else c["__lon"] for c in ch],
+                dtype=np.float64)
+            ok = ~np.isnan(lats)
+            runs = []
+            total = int(ok.sum())
+            kept = 0
+            # maximal resolved stretches
+            edges = np.flatnonzero(np.diff(np.concatenate(([0], ok.view(np.int8), [0]))))
+            for s, e in zip(edges[::2], edges[1::2]):
+                la, lo = lats[s:e], lons[s:e]
+                if len(la) == 1:
+                    keep = np.array([True])
+                else:
+                    lat0 = math.radians(float(la.mean()))
+                    x = np.radians(lo) * math.cos(lat0) * EARTH_RADIUS_M
+                    y = np.radians(la) * EARTH_RADIUS_M
+                    keep = _dp_mask(np.stack([x, y], axis=1), epsilon_m)
+                kept += int(keep.sum())
+                runs.append([{"lat": float(a), "lon": float(o)}
+                             for a, o in zip(la[keep], lo[keep])])
+            n_pts.append(total)
+            n_kept.append(kept)
+            runs_out.append(runs)
+        return pd.DataFrame(
+            {"n_points": n_pts, "n_kept": n_kept, "runs": runs_out})
+
+    return chains.select(
+        "way_id", simplify(F.col("__chain")).alias("__s")
+    ).select(
+        "way_id",
+        F.col("__s.n_points").alias("n_points"),
+        F.col("__s.n_kept").alias("n_kept"),
+        F.col("__s.runs").alias("runs"),
     )
