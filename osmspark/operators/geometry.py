@@ -32,15 +32,12 @@ from pyspark.sql import functions as F
 from ..functions.geo import haversine_m
 
 
-def way_geometry(ways: DataFrame, nodes: DataFrame,
-                 way_id: str = "id", node_id: str = "id") -> DataFrame:
-    """Per-way (way_id, n_refs, n_resolved, n_segments, length_m,
-    min_lat, max_lat, min_lon, max_lon).
-
-    `ways` needs (way_id, nd array<string>); `nodes` needs
-    (node_id, lat, lon).  length_m sums haversine over consecutive
-    ref pairs where BOTH endpoints resolved; the bbox covers the
-    resolved points."""
+def _ref_coords(ways: DataFrame, nodes: DataFrame,
+                way_id: str, node_id: str) -> DataFrame:
+    """(way_id, seq, __ref, __lat, __lon): ordered nd refs left-joined to
+    node coords — the shared reassembly input for way_geometry and
+    simplify_ways (one implementation so dangling-ref / ordering
+    semantics cannot diverge)."""
     refs = ways.select(
         F.col(way_id).alias("way_id"),
         F.posexplode_outer("nd").alias("seq", "__ref"),
@@ -50,7 +47,19 @@ def way_geometry(ways: DataFrame, nodes: DataFrame,
         F.col("lat").alias("__lat"),
         F.col("lon").alias("__lon"),
     )
-    j = refs.join(pts, "__ref", "left")
+    return refs.join(pts, "__ref", "left")
+
+
+def way_geometry(ways: DataFrame, nodes: DataFrame,
+                 way_id: str = "id", node_id: str = "id") -> DataFrame:
+    """Per-way (way_id, n_refs, n_resolved, n_segments, length_m,
+    min_lat, max_lat, min_lon, max_lon).
+
+    `ways` needs (way_id, nd array<string>); `nodes` needs
+    (node_id, lat, lon).  length_m sums haversine over consecutive
+    ref pairs where BOTH endpoints resolved; the bbox covers the
+    resolved points."""
+    j = _ref_coords(ways, nodes, way_id, node_id)
     agg = j.groupBy("way_id").agg(
         F.count("seq").alias("n_refs"),
         F.count("__lat").alias("n_resolved"),
@@ -100,8 +109,12 @@ def length_by_street_type(ways: DataFrame, nodes: DataFrame,
     Ways without an addr:street tag are excluded."""
     from .audit import normalize_streets
 
-    geo = way_geometry(ways, nodes, way_id=way_id)
-    streets = ways.filter(F.col("tags")["addr:street"].isNotNull()).select(
+    # filter BEFORE the geometry derivation: most ways carry no
+    # addr:street tag, and the nd-explode + node join is the expensive
+    # part — only ways that can reach the output pay for it
+    tagged = ways.filter(F.col("tags")["addr:street"].isNotNull())
+    geo = way_geometry(tagged, nodes, way_id=way_id)
+    streets = tagged.select(
         F.col(way_id).alias("way_id"),
         F.col("tags")["addr:street"].alias("street"),
     )
@@ -147,17 +160,8 @@ def simplify_ways(ways: DataFrame, nodes: DataFrame,
     if epsilon_m < 0:
         raise ValueError("epsilon_m must be >= 0")
 
-    refs = ways.select(
-        F.col(way_id).alias("way_id"),
-        F.posexplode_outer("nd").alias("seq", "__ref"),
-    )
-    pts = nodes.select(
-        F.col(node_id).alias("__ref"),
-        F.col("lat").alias("__lat"),
-        F.col("lon").alias("__lon"),
-    )
     chains = (
-        refs.join(pts, "__ref", "left")
+        _ref_coords(ways, nodes, way_id, node_id)
         .groupBy("way_id")
         .agg(
             F.array_sort(

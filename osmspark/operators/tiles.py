@@ -157,8 +157,9 @@ def vectorize_raster(tiles: DataFrame, threshold: int,
     Scale shape: the input is already one row per tile, so this is
     mapInPandas — ZERO shuffle, embarrassingly parallel, work per row
     bounded by px^2 (the BFS labeling touches each pixel once).
-    feature_id is deterministic: components ordered by (min_py, min_px)
-    scan order inside their tile."""
+    feature_id is deterministic: components numbered by the row-major
+    scan position of their first-encountered pixel (topmost row, then
+    leftmost pixel WITHIN that row — not the component-wide min column)."""
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
 

@@ -103,3 +103,36 @@ def test_asof_join_plan_native(frames):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null-ts right rows never match; a null-ts left row matches nothing
+    (forward mode is where DESC NULLS LAST would otherwise hand it the
+    minimum-ts right row)."""
+    ldf = spark.createDataFrame(
+        [("a", 10, 1), ("a", None, 2)], "k string, ts long, lval long")
+    rdf = spark.createDataFrame(
+        [("a", None, 100), ("a", 50, 101), ("a", 5, 102)],
+        "k string, ts long, rval long")
+    back = {(r["k"], r["ts"]): (r["ts_right"], r["rval_right"])
+            for r in asof_join(ldf, rdf, on="ts", by="k").collect()}
+    assert back[("a", 10)] == (5, 102)       # not the null-ts row
+    assert back[("a", None)] == (None, None)
+    fwd = {(r["k"], r["ts"]): (r["ts_right"], r["rval_right"])
+           for r in asof_join(ldf, rdf, on="ts", by="k",
+                              direction="forward").collect()}
+    assert fwd[("a", 10)] == (50, 101)
+    assert fwd[("a", None)] == (None, None)
+
+
+def test_asof_join_unorderable_right_payload(spark):
+    """A right side carrying a map column (this repo's tags) must still
+    work: the tiebreak falls back to a hash surrogate instead of trying
+    to sort the struct."""
+    ldf = spark.createDataFrame(
+        [("a", 10, 1)], "k string, ts long, lval long")
+    rdf = spark.createDataFrame(
+        [("a", 7, {"hw": "yes"})], "k string, ts long, tags map<string,string>")
+    rows = asof_join(ldf, rdf, on="ts", by="k").collect()
+    assert rows[0]["ts_right"] == 7
+    assert dict(rows[0]["tags_right"]) == {"hw": "yes"}
