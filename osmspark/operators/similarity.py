@@ -401,3 +401,41 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "qvec",
+                        scale_col: str = "qscale") -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage: a
+    float32 corpus column shrinks 4x (the difference between an
+    800 TB and a 200 TB embedding table at 10^12 docs x 200 dims), with
+    per-element absolute error <= scale/2 where scale = max|v|/127.
+
+    All native: array_max/transform/round in codegen, the scale bound as
+    a STAGED column so the per-element divide reads a bound value
+    instead of re-evaluating the max per lane.  Zero vectors quantize to
+    zeros with scale 1 (no divide-by-zero NaNs).  `dequantize_embeddings`
+    is the exact inverse map (up to the quantization error)."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    s1 = df.select("*", scale.cast("double").alias(scale_col))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / F.col(scale_col)).cast("int")),
+        ).cast("tinyint"),
+    )
+    return s1.select("*", q.alias(out_col))
+
+
+def dequantize_embeddings(df: DataFrame, qvec_col: str = "qvec",
+                          scale_col: str = "qscale",
+                          out_col: str = "embedding") -> DataFrame:
+    return df.select(
+        "*",
+        F.transform(
+            F.col(qvec_col),
+            lambda x: (x.cast("double") * F.col(scale_col)),
+        ).alias(out_col),
+    )

@@ -375,3 +375,44 @@ def with_fingerprint(docs: DataFrame, window: int = 8,
         .otherwise(rolled)
     )
     return s1.select("*", fp.alias(out_col)).drop("__fp_hs")
+
+
+# ordered: emails first so their host part is gone before the bare-IP scan
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"(?<!\d)(?:\+\d{1,2}[ .\-]?)?(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}(?!\d)"),
+    ("ipv4", r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)"),
+)
+
+
+def redact_pii(docs: DataFrame, patterns=PII_PATTERNS,
+               text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Training-data hygiene: replace email / phone / IPv4 literals with
+    `<kind>` placeholder tokens and count the hits per kind — ALL native
+    (chained regexp_replace for the rewrite, regexp_count on the ORIGINAL
+    text for the counts), purely map-side, so it pipelines inside the
+    scan stage like the other textstats operators.
+
+    Patterns apply in order (emails first, so an address's host part is
+    consumed before the bare-IP scan can half-match it).  Counts land in
+    one `pii_counts` map<kind, int> column; placeholders are angle-token
+    literals that the whitespace tokenizer keeps as single tokens.  The
+    pattern list is deliberately conservative/simple — precision over
+    recall; a production pass would layer NER on top, but the Spark plan
+    shape (native regex chain, zero Python) is the part that matters at
+    10^12 docs."""
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for kind, pat in patterns:
+        counts.append((kind, F.regexp_count(t, F.lit(pat))))
+        red = F.regexp_replace(red, pat, f"<{kind}>")
+    return docs.select(
+        "*",
+        red.alias(out_col),
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in counts]),
+            F.array(*[c for _, c in counts]),
+        ).alias("pii_counts"),
+    )

@@ -647,3 +647,62 @@ def test_repetition_stats_trigram_and_plan(texts):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@exa-mple.org now"),
+         (1, "call (555) 123-4567 or +1 555.123.4567 twice"),
+         (2, "host 192.168.0.1 and mail a@b.io from 10.0.0.255"),
+         (3, "clean text with no pii at all"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[0]["text_redacted"] == "mail <email> now"
+    assert out[0]["pii_counts"]["email"] == 1
+    assert out[1]["text_redacted"] == "call <phone> or <phone> twice"
+    assert out[1]["pii_counts"]["phone"] == 2
+    assert out[2]["text_redacted"] == "host <ipv4> and mail <email> from <ipv4>"
+    assert out[2]["pii_counts"] == {"email": 1, "phone": 0, "ipv4": 2}
+    assert out[3]["text_redacted"] == out[3]["text"]
+    assert all(v == 0 for v in out[3]["pii_counts"].values())
+    assert out[4]["text_redacted"] == ""
+    # idempotent: placeholders contain no redactable substrings
+    again = {r["doc_id"]: r["text_redacted"] for r in textstats.redact_pii(
+        spark.createDataFrame(
+            [(k, v["text_redacted"]) for k, v in out.items()],
+            "doc_id long, text string")).collect()}
+    for k, v in out.items():
+        assert again[k] == v["text_redacted"]
+    # native plan, map-side only
+    plan = textstats.redact_pii(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from osmspark.datagen import gen_vectors
+
+    vecs = similarity.quantize_embeddings(gen_vectors(spark, 200, 16))
+    back = similarity.dequantize_embeddings(
+        vecs.select("vec_id", "qvec", "qscale",
+                    F.col("embedding").alias("orig")),
+        out_col="emb2")
+    for r in back.collect():
+        orig = np.array(r["orig"], dtype=np.float64)
+        got = np.array(r["emb2"], dtype=np.float64)
+        assert np.all(np.abs(got - orig) <= r["qscale"] / 2 * (1 + 1e-9)), r["vec_id"]
+        assert np.max(np.abs(np.array(r["qvec"]))) <= 127
+    # zero vector: scale 1, zeros out, exact roundtrip
+    z = spark.createDataFrame([(0, [0.0] * 4)],
+                              "vec_id long, embedding array<double>")
+    r = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(z), out_col="emb2").collect()[0]
+    assert r["qscale"] == 1.0 and list(r["emb2"]) == [0.0] * 4
+    # native, map-side
+    plan = similarity.quantize_embeddings(
+        gen_vectors(spark, 10, 8))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
