@@ -197,3 +197,44 @@ def test_split_ring_polar_winding(seed, eastward):
     exp = (py > f) if eastward else (py < f)
     assert (counts <= 1).all()
     assert ((counts == 1) == exp).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(latlon, st.integers(min_value=6, max_value=10),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_radius_disk_cover_bound(p, res, seed):
+    """B5b coverage guarantee: kring(center_cell, k) with k from
+    radius_join._ring_for (measured local R) contains the cell of EVERY
+    point within the radius — the property within_distance_join's
+    exactness rests on.  Same-face contract as the operator: samples
+    landing on another cube face are excluded (documented limitation)."""
+    from osmspark.operators.radius_join import _ring_for
+
+    lat, lon = p
+    rng = np.random.default_rng(seed)
+    center = hexgrid.latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    ring1 = hexgrid.kring(center, 1)
+    la, lo = hexgrid.cell_center_latlon(ring1.ravel())
+    spacing = geo.haversine_np(
+        np.repeat(la[:1], 6), np.repeat(lo[:1], 6), la[1:], lo[1:]).min()
+    R = spacing / np.sqrt(3.0)
+    radius = float(R * rng.uniform(0.3, 4.0))
+    k = _ring_for(radius, R)
+    disk = set(hexgrid.kring(center, k)[0].tolist())
+    # sample points at bearings/distances <= radius (approx offsets, then
+    # keep only those whose TRUE haversine distance is within the radius)
+    n = 60
+    theta = rng.uniform(0, 2 * np.pi, n)
+    d = rng.uniform(0, radius, n)
+    dlat = d * np.cos(theta) / 111194.93
+    dlon = d * np.sin(theta) / (111194.93 * np.cos(np.radians(lat)))
+    la2 = np.clip(lat + dlat, -89.9, 89.9)
+    lo2 = ((lon + dlon + 180.0) % 360.0) - 180.0
+    true_d = geo.haversine_np(np.full(n, lat), np.full(n, lon), la2, lo2)
+    keep = true_d <= radius
+    cells = hexgrid.latlon_to_cell(la2[keep], lo2[keep], res)
+    center_face = (int(center[0]) >> 56) & 0x7
+    for c in cells.tolist():
+        if ((c >> 56) & 0x7) != center_face:
+            continue                      # same-face contract
+        assert c in disk, (lat, lon, res, radius, k)
