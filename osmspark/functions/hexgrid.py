@@ -300,3 +300,14 @@ def kring_udf(k: int):
         return pd.Series(list(arr))
 
     return hex_kring
+
+
+def parent_udf(parent_res: int):
+    """Arrow pandas UDF: cell id -> approximate-containment parent id at
+    `parent_res` (child center re-assigned, H3 aperture-7 semantics)."""
+
+    @F.pandas_udf(T.LongType())
+    def hex_parent(cell: pd.Series) -> pd.Series:
+        return pd.Series(parent_cell(cell.to_numpy(), parent_res))
+
+    return hex_parent

@@ -217,3 +217,48 @@ def vectorize_raster(tiles: DataFrame, threshold: int,
                "n_pixels long, total_count long, "
                "ring array<struct<lat:double,lon:double>>",
     )
+
+
+def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
+                        lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Hierarchical per-cell density pyramid (the hypertable-rollup shape
+    for hex cells): counts at EVERY resolution in [coarse_res, fine_res],
+    where each coarser level is aggregated FROM the level below via the
+    parent mapping — points are scanned and cell-assigned exactly ONCE,
+    at fine_res, instead of once per level.
+
+    At 10^12 points the difference is (fine - coarse) full-table scans:
+    level r has at most the level-(r+1) cell count of rows, so each
+    rollup step shrinks ~7x (aperture-7) and the whole pyramid above the
+    base costs a vanishing fraction of the base aggregation.  Parents
+    follow the engine's H3 semantics (approximate containment: child
+    CENTER re-assigned at the parent res) — pyramid counts therefore
+    match re-assigning each point's fine CELL CENTER at the coarse res,
+    not re-assigning the raw points (tested; the deviation is points in
+    the sliver where a child hex overhangs its parent).
+
+    Output: (res, cell, cnt) for every level."""
+    from ..functions.hexgrid import parent_udf, with_hex_cell
+
+    if not 0 <= coarse_res <= fine_res:
+        raise ValueError("need 0 <= coarse_res <= fine_res")
+    base = (
+        with_hex_cell(points, fine_res, lat=lat, lon=lon, out_col="cell")
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit(fine_res).alias("res"), "cell", "cnt")
+    )
+    levels = [base]
+    cur = base
+    for r in range(fine_res - 1, coarse_res - 1, -1):
+        cur = (
+            cur.select(parent_udf(r)(F.col("cell")).alias("cell"), "cnt")
+            .groupBy("cell")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(r).alias("res"), "cell", "cnt")
+        )
+        levels.append(cur)
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out

@@ -212,3 +212,35 @@ def test_vectorize_raster_no_shuffle(spark):
     out = tiles.vectorize_raster(df, threshold=1, px=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cell_rollup_pyramid(nodes):
+    """Pyramid levels: base == direct fine assignment; each coarser level
+    == python regroup of the level below through parent_cell; total count
+    preserved at every level (one point scan for the whole pyramid)."""
+    from osmspark.functions import hexgrid
+    from osmspark.functions.hexgrid import with_hex_cell
+
+    pts = nodes.select("lat", "lon").limit(2000).cache()
+    n = pts.count()
+    out = tiles.cell_rollup_pyramid(pts, fine_res=9, coarse_res=7)
+    by_level = {}
+    for r in out.collect():
+        by_level.setdefault(r["res"], {})[r["cell"]] = r["cnt"]
+    assert set(by_level) == {7, 8, 9}
+    base = {r["cell"]: r["cnt"]
+            for r in with_hex_cell(pts, 9, out_col="cell")
+            .groupBy("cell").count()
+            .withColumnRenamed("count", "cnt").collect()}
+    assert by_level[9] == base
+    for r in (8, 7):
+        import numpy as np
+        child = by_level[r + 1]
+        cells = np.array(list(child), dtype=np.int64)
+        parents = hexgrid.parent_cell(cells, r)
+        want: dict = {}
+        for p, c in zip(parents.tolist(), cells.tolist()):
+            want[p] = want.get(p, 0) + child[c]
+        assert by_level[r] == want
+        assert sum(by_level[r].values()) == n
+    pts.unpersist()

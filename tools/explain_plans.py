@@ -228,6 +228,45 @@ def main() -> None:
           lambda p: "codegen id" in p or "WholeStageCodegen" in p)],
     )
 
+    from osmspark.operators.temporal import asof_join
+
+    ev_l = spark.range(200).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") * 7 % 501).alias("ts"),
+        F.col("id").alias("lval"))
+    ev_r = spark.range(100).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") * 13 % 501).alias("ts"),
+        F.col("id").alias("rval"))
+    add(
+        "As-of temporal join (round 4 — union-tag + running-last window)",
+        asof_join(ev_l, ev_r, on="ts", by="k"),
+        [("ONE shuffle on the by-key then a per-key window",
+          lambda p: "Window" in p),
+         ("ZERO Python", lambda p: "EvalPython" not in p),
+         ("no cartesian/NLJ", lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)],
+    )
+
+    from osmspark.operators.textstats import redact_pii
+
+    add(
+        "PII redaction (round 4 — native regexp chain)",
+        redact_pii(flat.select("doc_id", "text")),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("map-side only — no shuffle", lambda p: "Exchange" not in p)],
+    )
+
+    from osmspark.operators.tiles import cell_rollup_pyramid
+
+    add(
+        "Hex rollup pyramid (round 4 — one point scan, parent-fold levels)",
+        cell_rollup_pyramid(nodes.select("lat", "lon"), fine_res=9,
+                            coarse_res=7),
+        [("points cell-assigned ONCE — exactly one scan feeds the base "
+          "level, coarser levels fold the level below",
+          lambda p: "Union" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
