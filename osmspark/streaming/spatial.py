@@ -108,3 +108,69 @@ def streaming_geofence_counts(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "poly_id", "cnt")
     )
+
+
+def streaming_radius_alerts(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "haversine",
+    res: int | None = None,
+    point_id: str = "id",
+    lat: str = "lat",
+    lon: str = "lon",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Streaming within-distance join (proximity alerts): a stream of
+    points matched against a STATIC query-site table (store locations,
+    sensors, geofence centers) — one row per (site, point) within
+    `radius`.
+
+    The batch B5b operator streams with ONE adaptation: the STREAM side
+    only gets the stateless native cell projection, and all the Python
+    (local-scale measurement + disk-cell generation) runs on the small
+    STATIC side — which is MATERIALIZED eagerly (localCheckpoint) before
+    the join, because a stream-static join whose static subplan still
+    contains Arrow UDF nodes deadlocks the micro-batch (observed; the
+    checkpointed frame is plain rows and joins fine).  The join itself
+    is a stream-static inner equi-join — no streaming state at all.
+    Emits exactly the batch join's rows for the same input
+    (equivalence-tested)."""
+    from ..operators.radius_join import query_disk_cells, within_distance_join
+
+    pts = points if (lat, lon) == ("lat", "lon") else points.select(
+        "*", F.col(lat).alias("lat"), F.col(lon).alias("lon"))
+    q, used_res = query_disk_cells(queries, radius, metric=metric, res=res)
+    q = q.localCheckpoint(eager=True)
+    return within_distance_join(
+        pts, queries, radius, metric=metric, res=used_res,
+        point_id=point_id, carry_cols=carry_cols, _prepared=(q, used_res))
+
+
+def streaming_radius_counts(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    point_id: str = "id",
+    **kwargs,
+) -> DataFrame:
+    """(window_start, query_id, cnt) — watermarked tumbling-window counts
+    of points entering each site's radius; the live proximity-occupancy
+    feed.  The join is stateless (streaming_radius_alerts); only the
+    windowed aggregate holds state, bounded by the watermark.
+
+    The timestamp rides THROUGH the join as a carried point-side column
+    (radius_join's carry_cols) — no stream-stream re-join, so the only
+    stateful node in the plan is the watermarked aggregate."""
+    hits = streaming_radius_alerts(points, queries, radius,
+                                   point_id=point_id,
+                                   carry_cols=(ts_col,), **kwargs)
+    return (
+        hits.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "query_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "query_id", "cnt")
+    )

@@ -231,3 +231,54 @@ def test_streaming_geofence_equals_batch(spark, tmp_path):
              for r in sp.streaming_geofence_counts(batch, polys,
                                                    res=7).collect()}
     assert got_c == exp_c and len(exp_c) > 20
+
+
+def test_streaming_radius_equals_batch(spark, tmp_path):
+    """The B5b radius join streams as-is (stateless stream-side cell
+    projection + stream-static equi-join against static disk cells): hit
+    set and windowed per-site counts equal the batch join on the same
+    input; the timestamp rides through as a carried column (no
+    stream-stream re-join)."""
+    import numpy as np
+
+    from osmspark.operators.radius_join import within_distance_join
+    from osmspark.streaming import spatial as sp
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    lat = rng.uniform(1.13, 1.47, n)
+    lon = rng.uniform(103.6, 104.1, n)
+    rows = [
+        (str(i), f"2016-03-01 {i % 24:02d}:{i % 60:02d}:00",
+         float(lat[i]), float(lon[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, ts string, lat double, lon double"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "lat", "lon")
+    src = str(tmp_path / "rad_pts")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "id string, ts timestamp, lat double, lon double").parquet(src)
+    batch = spark.read.parquet(src)
+    sites = spark.createDataFrame(
+        [("s0", 1.29, 103.85), ("s1", 1.35, 103.69), ("s2", 1.44, 103.79)],
+        "query_id string, lat double, lon double")
+
+    got = {(r["query_id"], r["point_id"]) for r in ev.run_to_memory(
+        sp.streaming_radius_alerts(stream, sites, 8000.0), "t_rad").collect()}
+    exp = {(r["query_id"], r["point_id"]) for r in within_distance_join(
+        batch.select("id", "lat", "lon"), sites, 8000.0).collect()}
+    assert got == exp and len(exp) > 100
+
+    got_c = {(r["window_start"], r["query_id"]): r["cnt"]
+             for r in ev.run_to_memory(
+                 sp.streaming_radius_counts(stream, sites, 8000.0),
+                 "t_rad_cnt", output_mode="complete").collect()}
+    exp_rows = within_distance_join(
+        batch, sites, 8000.0, carry_cols=("ts",))
+    exp_c = {(r["w"]["start"], r["query_id"]): r["cnt"]
+             for r in exp_rows.groupBy(
+                 F.window("ts", "1 hour").alias("w"), "query_id")
+             .agg(F.count("*").alias("cnt")).collect()}
+    assert got_c == exp_c and len(exp_c) > 10
