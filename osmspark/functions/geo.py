@@ -49,3 +49,35 @@ def xyz_to_latlon(x, y, z):
     lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
     lon = np.degrees(np.arctan2(y, x))
     return lat, lon
+
+
+def ring_area_m2(ring) -> Column:
+    """Spherical polygon area (m^2) of a CLOSED lat/lon ring column
+    (array<struct<lat,lon>>, last vertex == first) — the spherical-excess
+    shoelace of Chamberlain & Duquette (2007), the formula GeoJSON
+    tooling standardizes on:
+
+        area = R^2/2 * | sum_i (lam_{i+1} - lam_i) *
+                         (2 + sin phi_i + sin phi_{i+1}) |
+
+    PURE NATIVE: one aggregate() over the edge indices, trig inside
+    whole-stage codegen.  EXACT for lat/lon-aligned rectangles
+    (R^2 * dlam * (sin phi2 - sin phi1) — tested analytically) and
+    otherwise exact in the limit of short edges, matching the great-
+    circle-edge polygon to within edge-sagitta terms.  Rings must not
+    cross the antimeridian (unwrap longitudes first — the spatial_join's
+    unwrap utilities produce exactly the representation this expects)."""
+    n = F.size(ring)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def term(i):
+        a = F.element_at(ring, i)
+        b = F.element_at(ring, i + 1)
+        return (F.radians(b["lon"]) - F.radians(a["lon"])) * (
+            F.lit(2.0) + F.sin(F.radians(a["lat"])) + F.sin(F.radians(b["lat"]))
+        )
+
+    s = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + term(i))
+    return F.abs(s) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)

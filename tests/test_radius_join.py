@@ -114,3 +114,46 @@ def test_auto_res_monotone():
     assert rs == sorted(rs, reverse=True)
     assert rs[0] > rs[-1]
     assert all(0 <= r <= 15 for r in rs)
+
+
+def test_radius_auto_dispatch_both_sides(nodes, queries):
+    """within_distance_auto must return identical results on BOTH sides
+    of its cost threshold."""
+    pts = nodes.select("id", "lat", "lon")
+    lo = {(r["query_id"], r["point_id"]) for r in rj.within_distance_auto(
+        pts, queries, 3000.0, brute_cost_cap=1e18).collect()}
+    hi = {(r["query_id"], r["point_id"]) for r in rj.within_distance_auto(
+        pts, queries, 3000.0, brute_cost_cap=0).collect()}
+    assert lo == hi == _brute(pts, queries, 3000.0, "haversine")
+
+
+def test_ring_area_rectangles_analytic(spark):
+    """ring_area_m2 is EXACT for lat/lon-aligned rectangles:
+    R^2 * dlam * (sin p2 - sin p1) — an analytic, non-mirror oracle."""
+    import math as m
+
+    from osmspark.functions.geo import ring_area_m2
+
+    R = 6371008.8
+    cases = [(-10.0, 20.0, 30.0, 75.5), (1.13, 1.47, 103.6, 104.1),
+             (-60.0, -59.0, -179.0, -178.0)]
+    rows = []
+    for i, (la0, la1, lo0, lo1) in enumerate(cases):
+        ring = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+        rows.append((i, [{"lat": a, "lon": o} for a, o in ring]))
+    df = spark.createDataFrame(
+        rows, "rid long, ring array<struct<lat:double,lon:double>>")
+    got = {r["rid"]: r["area"] for r in df.select(
+        "rid", ring_area_m2(F.col("ring")).alias("area")).collect()}
+    for i, (la0, la1, lo0, lo1) in enumerate(cases):
+        exact = (R * R * m.radians(lo1 - lo0)
+                 * (m.sin(m.radians(la1)) - m.sin(m.radians(la0))))
+        assert abs(got[i] - exact) <= 1e-9 * exact, (i, got[i], exact)
+    # degenerate rings are zero, plan stays native
+    z = spark.createDataFrame(
+        [(0, [{"lat": 1.0, "lon": 2.0}])],
+        "rid long, ring array<struct<lat:double,lon:double>>")
+    out = z.select(ring_area_m2(F.col("ring")).alias("area"))
+    assert out.collect()[0]["area"] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
