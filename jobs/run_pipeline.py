@@ -162,7 +162,9 @@ def main() -> None:
     # LLM-corpus curation tier over the documents' TEXT spans (same
     # resumable-snapshot discipline as the spatial stages)
     from osmspark.operators.dedup import verified_near_dup_pairs
-    from osmspark.operators.textstats import chunk_documents, curate
+    from osmspark.operators.textstats import (
+        chunk_documents, curate, redact_pii, repetition_stats,
+    )
     from osmspark.sources.spans import explode_spans
 
     def build_texts():
@@ -181,13 +183,27 @@ def main() -> None:
         lambda: verified_near_dup_pairs(texts, jaccard_threshold=0.8),
         inputs=["stage:texts"],
     )
+    # round-4 hygiene stages: repetition signals (Gopher filters) for the
+    # whole text tier, then PII redaction of the curated survivors — the
+    # chunker consumes the REDACTED text, the order a real corpus build
+    # uses (never chunk text that still carries raw PII)
+    store.run_stage(
+        spark, "repetition_flags",
+        lambda: repetition_stats(texts),
+        inputs=["stage:texts"],
+    )
+    redacted = store.run_stage(
+        spark, "pii_redacted",
+        lambda: redact_pii(
+            texts.join(curated.select("doc_id"), "doc_id", "left_semi")
+        ).select("doc_id", F.col("text_redacted").alias("text"),
+                 "pii_counts"),
+        inputs=["stage:texts", "stage:curated"],
+    )
     store.run_stage(
         spark, "chunks",
-        lambda: chunk_documents(
-            texts.join(curated.select("doc_id"), "doc_id", "left_semi"),
-            max_tokens=64, overlap=8,
-        ),
-        inputs=["stage:texts", "stage:curated"],
+        lambda: chunk_documents(redacted, max_tokens=64, overlap=8),
+        inputs=["stage:pii_redacted"],
     )
 
     print(json.dumps({"stages": [m["stage"] for m in store.lineage_report()],
