@@ -267,6 +267,31 @@ def main() -> None:
          ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.geometry import way_geometry
+    from osmspark.sources import parse_ways
+
+    ways_df = parse_ways(docs)
+    add(
+        "Way geometry (round 4 — nd-chain length/bbox, native fold)",
+        way_geometry(ways_df, nodes),
+        [("ZERO Python (haversine chain fold in codegen)",
+          lambda p: "EvalPython" not in p),
+         ("equi-join on the ref key, no cartesian",
+          lambda p: "CartesianProduct" not in p),
+         ("bounded per-way groupBy (no window over the table)",
+          lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p
+          or "SortAggregate" in p)],
+    )
+
+    from osmspark.functions.geo import ring_area_m2
+
+    add(
+        "Spherical ring area (round 4 — excess shoelace aggregate)",
+        polys.select("poly_id", ring_area_m2(F.col("ring")).alias("area_m2")),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("map-side only", lambda p: "Exchange" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
