@@ -220,7 +220,8 @@ def vectorize_raster(tiles: DataFrame, threshold: int,
 
 
 def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
-                        lat: str = "lat", lon: str = "lon") -> DataFrame:
+                        lat: str = "lat", lon: str = "lon",
+                        materialize: bool = True) -> DataFrame:
     """Hierarchical per-cell density pyramid (the hypertable-rollup shape
     for hex cells): counts at EVERY resolution in [coarse_res, fine_res],
     where each coarser level is aggregated FROM the level below via the
@@ -237,7 +238,15 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
     not re-assigning the raw points (tested; the deviation is points in
     the sliver where a child hex overhangs its parent).
 
-    Output: (res, cell, cnt) for every level."""
+    Output: (res, cell, cnt) for every level.
+
+    materialize=True (default) localCheckpoints each level before the
+    next is derived and before the final union — without it the union's
+    branches re-evaluate the base aggregation once per level (measured
+    3x at sf0.1: ReuseExchange/AQE does not dedupe the shared subtree
+    across union branches here), which is exactly the per-zoom rescan
+    this operator exists to avoid.  The checkpointed frames are
+    cell-count-sized (thousands of rows), not point-sized."""
     from ..functions.hexgrid import parent_udf, with_hex_cell
 
     if not 0 <= coarse_res <= fine_res:
@@ -248,6 +257,8 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
         .agg(F.count("*").alias("cnt"))
         .select(F.lit(fine_res).alias("res"), "cell", "cnt")
     )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     levels = [base]
     cur = base
     for r in range(fine_res - 1, coarse_res - 1, -1):
@@ -257,6 +268,8 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
             .agg(F.sum("cnt").alias("cnt"))
             .select(F.lit(r).alias("res"), "cell", "cnt")
         )
+        if materialize:
+            cur = cur.localCheckpoint(eager=True)
         levels.append(cur)
     out = levels[0]
     for df in levels[1:]:

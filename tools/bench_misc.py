@@ -99,9 +99,13 @@ def main() -> None:
         F.sum(F.element_at("qvec", 1).cast("long")))
     bench("quantize_500k_x64", lambda: qz_df.collect())
 
-    pyr_df = cell_rollup_pyramid(
-        nodes.select("lat", "lon"), fine_res=9, coarse_res=6)
-    bench("cell_pyramid_r9_to_r6", lambda: pyr_df.count())
+    # the pyramid materializes its levels eagerly at BUILD time (that is
+    # the operator's whole point — one base scan, no per-zoom recompute),
+    # so the honest timing rebuilds it per call, build + final count
+    pts_only = nodes.select("lat", "lon")
+    bench("cell_pyramid_r9_to_r6",
+          lambda: cell_rollup_pyramid(
+              pts_only, fine_res=9, coarse_res=6).count())
 
     out = {
         "metric": "round4_misc_ops_sec",
