@@ -1,0 +1,127 @@
+"""Polygon-polygon intersection join (spatial overlay, B4c) — which
+pairs of polygons from two dims overlap: admin x ZIP coverage, geofence
+conflict checks, vectorized-raster features (tiles.vectorize_raster)
+joined back against the admin dim.
+
+Same two-phase shape as the PIP join, lifted one rank: phase 1 joins the
+two sides' COVER CELLS (prepare_polygons — per-polygon covers computed in
+a pandas UDF, superset of every cell the polygon touches, so any
+intersecting pair shares at least one candidate cell); phase 2 verifies
+each candidate pair exactly with the standard polygon-intersection
+predicate:
+
+    intersect(A, B)  :=  any vertex of B inside A
+                      or any vertex of A inside B
+                      or any edge of A properly crossing any edge of B
+
+(vertex-in catches containment, edge-cross catches the plus-sign overlap
+where neither polygon holds a vertex of the other).  Semantics notes:
+interior-overlap semantics — pairs that merely touch along a shared
+boundary with zero interior overlap are not guaranteed either way (the
+even-odd boundary ambiguity the PIP join documents); rings must not
+cross the antimeridian (unwrap first, like the rest of the engine).
+
+Scale shape: covers are per-polygon pandas-UDF work (no driver collect
+of either dim), the candidate join is a shuffle equi-join on the cell
+key, and the verifier is one Arrow UDF whose per-row cost is
+O(|A| * |B|) in the RING LENGTHS (dims have tens-to-hundreds of
+vertices), embarrassingly parallel over candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .spatial_join import _pip_single_ring, prepare_polygons, split_ring
+
+
+def _any_vertex_inside(vlat, vlon, ring_lat, ring_lon) -> bool:
+    """Any of the query vertices strictly inside the (possibly split)
+    ring — reuses the engine's crossing-number kernel."""
+    acc = np.zeros(len(vlat), dtype=bool)
+    for rl, rlo in split_ring(ring_lat, ring_lon):
+        acc |= _pip_single_ring(vlat, vlon, rl, rlo)
+    return bool(acc.any())
+
+
+def _any_edge_cross(alat, alon, blat, blon) -> bool:
+    """Any PROPER crossing between an edge of ring A and an edge of ring
+    B (strict orientation signs on both sides) — vectorized over the
+    full (edges_A x edges_B) grid."""
+    ax1, ay1 = alon[:-1], alat[:-1]
+    ax2, ay2 = alon[1:], alat[1:]
+    bx1, by1 = blon[:-1], blat[:-1]
+    bx2, by2 = blon[1:], blat[1:]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    # (nA, 1) vs (1, nB) broadcasting
+    d1 = orient(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
+                bx1[None, :], by1[None, :])
+    d2 = orient(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
+                bx2[None, :], by2[None, :])
+    d3 = orient(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+                ax1[:, None], ay1[:, None])
+    d4 = orient(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+                ax2[:, None], ay2[:, None])
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def polygons_intersect_np(alat, alon, blat, blon) -> bool:
+    """The exact pairwise predicate (numpy arrays of ring vertices,
+    closed rings)."""
+    return (
+        _any_vertex_inside(blat, blon, alat, alon)
+        or _any_vertex_inside(alat, alon, blat, blon)
+        or _any_edge_cross(alat, alon, blat, blon)
+    )
+
+
+def polygon_intersect_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """(a_id, b_id) for every intersecting pair.  Both inputs use the
+    engine polygon schema (poly_id, level, ring, postcode); neither side
+    is collected to the driver."""
+    pa = prepare_polygons(polys_a, res).select(
+        F.col("poly_id").alias("a_id"),
+        F.col("ring_lat").alias("__alat"),
+        F.col("ring_lon").alias("__alon"),
+        "cell",
+    )
+    pb = prepare_polygons(polys_b, res).select(
+        F.col("poly_id").alias("b_id"),
+        F.col("ring_lat").alias("__blat"),
+        F.col("ring_lon").alias("__blon"),
+        "cell",
+    )
+    cand = (
+        pa.join(pb, "cell")
+        .dropDuplicates(["a_id", "b_id"])   # rings identical per id
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def verify(alat: pd.Series, alon: pd.Series,
+               blat: pd.Series, blon: pd.Series) -> pd.Series:
+        out = np.zeros(len(alat), dtype=bool)
+        for i in range(len(alat)):
+            out[i] = polygons_intersect_np(
+                np.asarray(alat.iloc[i], dtype=np.float64),
+                np.asarray(alon.iloc[i], dtype=np.float64),
+                np.asarray(blat.iloc[i], dtype=np.float64),
+                np.asarray(blon.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return (
+        cand.filter(verify(F.col("__alat"), F.col("__alon"),
+                           F.col("__blat"), F.col("__blon")))
+        .select("a_id", "b_id")
+    )

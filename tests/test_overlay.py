@@ -1,0 +1,111 @@
+"""B4c polygon-polygon intersection join: crafted geometric cases plus a
+brute all-pairs sweep over the generated dims, against an independent
+scalar python predicate."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from osmspark.operators.overlay import polygon_intersect_join
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(pid, "admin", [{"lat": a, "lon": o} for a, o in ring], None)
+         for pid, ring in rows],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string",
+    )
+
+
+def _rect(la0, la1, lo0, lo1):
+    return [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+
+
+def _pt_in(py, px, ring):
+    inside = False
+    for (y1, x1), (y2, x2) in zip(ring, ring[1:]):
+        if (y1 > py) != (y2 > py):
+            xx = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+            if px < xx:
+                inside = not inside
+    return inside
+
+
+def _seg_cross(p1, p2, p3, p4):
+    def o(a, b, c):
+        return (b[1] - a[1]) * (c[0] - a[0]) - (b[0] - a[0]) * (c[1] - a[1])
+    return (o(p1, p2, p3) * o(p1, p2, p4) < 0
+            and o(p3, p4, p1) * o(p3, p4, p2) < 0)
+
+
+def _brute_intersect(ra, rb):
+    if any(_pt_in(a, o, rb) for a, o in ra[:-1]):
+        return True
+    if any(_pt_in(a, o, ra) for a, o in rb[:-1]):
+        return True
+    for e1 in zip(ra, ra[1:]):
+        for e2 in zip(rb, rb[1:]):
+            if _seg_cross(e1[0], e1[1], e2[0], e2[1]):
+                return True
+    return False
+
+
+def test_overlay_crafted_cases(spark):
+    a = _mk(spark, [
+        ("contains", _rect(1.20, 1.40, 103.70, 103.90)),
+        ("plusA", _rect(1.30, 1.32, 103.60, 104.00)),   # wide horizontal bar
+        ("lonely", _rect(1.60, 1.62, 103.60, 103.62)),
+    ])
+    b = _mk(spark, [
+        ("inside", _rect(1.25, 1.35, 103.75, 103.85)),     # inside 'contains'
+        ("plusB", _rect(1.20, 1.44, 103.79, 103.81)),      # tall vertical bar
+        ("partial", _rect(1.38, 1.45, 103.88, 103.95)),    # overlaps corner
+        ("faraway", _rect(1.00, 1.02, 104.05, 104.07)),
+    ])
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_intersect_join(a, b, res=7).collect()}
+    assert ("contains", "inside") in got          # containment, no crossing
+    assert ("plusA", "plusB") in got              # plus-sign: edge cross only
+    assert ("contains", "plusB") in got
+    assert ("contains", "partial") in got
+    assert all(p[0] != "lonely" for p in got)
+    assert all(p[1] != "faraway" for p in got)
+
+
+def test_overlay_equals_bruteforce_on_dims(spark):
+    """All-pairs sweep: generated admin+zip dim against a shifted copy of
+    itself, compared to the independent scalar predicate."""
+    from osmspark.datagen import gen_polygons
+
+    polys = gen_polygons(spark)
+    shifted = polys.select(
+        F.concat(F.lit("s-"), "poly_id").alias("poly_id"), "level",
+        F.transform(
+            "ring",
+            lambda p: F.struct(
+                (p["lat"] + F.lit(0.013)).alias("lat"),
+                (p["lon"] + F.lit(0.017)).alias("lon"),
+            ),
+        ).alias("ring"),
+        "postcode",
+    )
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_intersect_join(polys, shifted, res=7).collect()}
+    ra = {r["poly_id"]: [(p["lat"], p["lon"]) for p in r["ring"]]
+          for r in polys.collect()}
+    rb = {r["poly_id"]: [(p["lat"], p["lon"]) for p in r["ring"]]
+          for r in shifted.collect()}
+    want = {(ai, bi) for ai, A in ra.items() for bi, B in rb.items()
+            if _brute_intersect(A, B)}
+    assert got == want
+    assert len(want) > 5                      # non-vacuous
+
+
+def test_overlay_no_cartesian_and_vectorized(spark):
+    a = _mk(spark, [("x", _rect(1.2, 1.3, 103.7, 103.8))])
+    b = _mk(spark, [("y", _rect(1.25, 1.35, 103.75, 103.85))])
+    out = polygon_intersect_join(a, b, res=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan

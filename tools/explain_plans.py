@@ -292,6 +292,27 @@ def main() -> None:
          ("map-side only", lambda p: "Exchange" not in p)],
     )
 
+    from osmspark.operators.overlay import polygon_intersect_join
+
+    shifted = polys.select(
+        F.concat(F.lit("s-"), "poly_id").alias("poly_id"), "level",
+        F.transform(
+            "ring",
+            lambda p: F.struct((p["lat"] + F.lit(0.01)).alias("lat"),
+                               (p["lon"] + F.lit(0.01)).alias("lon")),
+        ).alias("ring"),
+        "postcode",
+    )
+    add(
+        "Polygon overlay join (round 4 B4c — cover-cell candidates + "
+        "exact pair predicate)",
+        polygon_intersect_join(polys, shifted, res=7),
+        [("candidate join is an equi-join on the cell key",
+          lambda p: "CartesianProduct" not in p),
+         ("Arrow-vectorized cover + verify only",
+          lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
