@@ -14,12 +14,17 @@ predicate:
                       or any vertex of A inside B
                       or any edge of A properly crossing any edge of B
 
+plus a strictly-INTERIOR sample point of each ring tested in the other
 (vertex-in catches containment, edge-cross catches the plus-sign overlap
-where neither polygon holds a vertex of the other).  Semantics notes:
-interior-overlap semantics — pairs that merely touch along a shared
-boundary with zero interior overlap are not guaranteed either way (the
-even-odd boundary ambiguity the PIP join documents); rings must not
-cross the antimeridian (unwrap first, like the rest of the engine).
+where neither polygon holds a vertex of the other, and the interior
+points catch coincident / shared-all-vertices pairs — a duplicated
+geofence — where every vertex is ON the boundary and every edge pair is
+collinear, defeating both strict tests).  Semantics notes:
+interior-overlap semantics — pairs that merely TOUCH along a boundary
+with zero interior overlap are not guaranteed either way (the even-odd
+boundary ambiguity the PIP join documents); antimeridian rings must be
+pre-unwrapped (each comparison shifts its partner into the reference
+ring's longitude frame).
 
 Scale shape: covers are per-polygon pandas-UDF work (no driver collect
 of either dim), the candidate join is a shuffle equi-join on the cell
@@ -72,14 +77,64 @@ def _any_edge_cross(alat, alon, blat, blon) -> bool:
     return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
 
 
+def _interior_point(lats, lons):
+    """A point STRICTLY inside the ring (even-odd): intersect the ring
+    with a horizontal chord at a lat between min and max (nudged off any
+    vertex latitude), take the midpoint of the first crossing interval.
+    Needed because coincident/shared-boundary polygons defeat both
+    strict vertex-in and proper edge-cross — identical rings have every
+    vertex ON the boundary and every edge collinear."""
+    la0, la1 = float(lats.min()), float(lats.max())
+    if la1 <= la0:
+        return None
+    y = (la0 + la1) / 2.0
+    for _ in range(8):
+        if not np.any(np.isclose(lats, y, rtol=0.0, atol=1e-12)):
+            break
+        y += (la1 - la0) * 1e-7
+    y1, y2 = lats[:-1], lats[1:]
+    x1, x2 = lons[:-1], lons[1:]
+    m = (y1 > y) != (y2 > y)
+    if not np.any(m):
+        return None
+    xs = np.sort(x1[m] + (y - y1[m]) / (y2[m] - y1[m]) * (x2[m] - x1[m]))
+    if len(xs) < 2:
+        return None
+    return y, float((xs[0] + xs[1]) / 2.0)
+
+
+def _to_frame(ref_lons, lons):
+    """Shift `lons` by a multiple of 360 into `ref_lons`'s frame — the
+    edge-cross and interior-point legs compare raw coordinates, so an
+    unwrapped antimeridian ring (e.g. 175..185) must meet its partner in
+    ONE longitude frame (the PIP kernel does this internally; these legs
+    need it done explicitly)."""
+    if len(ref_lons) == 0 or len(lons) == 0:
+        return lons
+    shift = 360.0 * np.round((np.mean(ref_lons) - np.mean(lons)) / 360.0)
+    return lons + shift
+
+
 def polygons_intersect_np(alat, alon, blat, blon) -> bool:
     """The exact pairwise predicate (numpy arrays of ring vertices,
     closed rings)."""
-    return (
-        _any_vertex_inside(blat, blon, alat, alon)
-        or _any_vertex_inside(alat, alon, blat, blon)
-        or _any_edge_cross(alat, alon, blat, blon)
-    )
+    blon_f = _to_frame(alon, blon)
+    if _any_vertex_inside(blat, blon, alat, alon):
+        return True
+    if _any_vertex_inside(alat, alon, blat, blon):
+        return True
+    if _any_edge_cross(alat, alon, blat, blon_f):
+        return True
+    # coincident / shared-boundary cases: strictly-interior sample points
+    pa = _interior_point(alat, alon)
+    if pa is not None and _any_vertex_inside(
+            np.array([pa[0]]), np.array([pa[1]]), blat, blon):
+        return True
+    pb = _interior_point(blat, blon_f)
+    if pb is not None and _any_vertex_inside(
+            np.array([pb[0]]), np.array([pb[1]]), alat, alon):
+        return True
+    return False
 
 
 def polygon_intersect_join(

@@ -431,7 +431,14 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 
 def dequantize_embeddings(df: DataFrame, qvec_col: str = "qvec",
                           scale_col: str = "qscale",
-                          out_col: str = "embedding") -> DataFrame:
+                          out_col: str = "dequantized") -> DataFrame:
+    """Inverse of quantize_embeddings up to the scale/2 error.  The
+    default out_col deliberately differs from quantize's input column:
+    quantize keeps every input column, so writing back to 'embedding'
+    would produce two identically-named columns and AMBIGUOUS_REFERENCE
+    on any later select."""
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
     return df.select(
         "*",
         F.transform(

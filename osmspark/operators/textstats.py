@@ -402,11 +402,14 @@ def redact_pii(docs: DataFrame, patterns=PII_PATTERNS,
     recall; a production pass would layer NER on top, but the Spark plan
     shape (native regex chain, zero Python) is the part that matters at
     10^12 docs."""
-    t = F.col(text_col)
-    red = t
+    red = F.col(text_col)
     counts = []
     for kind, pat in patterns:
-        counts.append((kind, F.regexp_count(t, F.lit(pat))))
+        # count on the PROGRESSIVELY-redacted text, not the original —
+        # counts then reconcile exactly with the placeholders the chain
+        # emits (an IP living inside an already-consumed email host must
+        # count 0, matching the rewrite)
+        counts.append((kind, F.regexp_count(red, F.lit(pat))))
         red = F.regexp_replace(red, pat, f"<{kind}>")
     return docs.select(
         "*",

@@ -165,9 +165,11 @@ def streaming_radius_counts(
     The timestamp rides THROUGH the join as a carried point-side column
     (radius_join's carry_cols) — no stream-stream re-join, so the only
     stateful node in the plan is the watermarked aggregate."""
+    extra_carry = tuple(kwargs.pop("carry_cols", ()))
     hits = streaming_radius_alerts(points, queries, radius,
                                    point_id=point_id,
-                                   carry_cols=(ts_col,), **kwargs)
+                                   carry_cols=(ts_col,) + extra_carry,
+                                   **kwargs)
     return (
         hits.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "query_id")

@@ -706,3 +706,31 @@ def test_quantize_embeddings_roundtrip(spark):
         gen_vectors(spark, 10, 8))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_redact_pii_counts_follow_the_chain(spark):
+    """Counts reconcile with the emitted placeholders: an IP inside an
+    email host is consumed by the email replacement and must count 0."""
+    df = spark.createDataFrame(
+        [(0, "reach admin@10.0.0.1.example.com or 10.0.0.9 today")],
+        "doc_id long, text string")
+    r = textstats.redact_pii(df).collect()[0]
+    assert r["text_redacted"] == "reach <email> or <ipv4> today"
+    assert r["pii_counts"]["email"] == 1
+    assert r["pii_counts"]["ipv4"] == 1      # only the bare IP
+
+
+def test_dequantize_default_composes(spark):
+    """dequantize(quantize(df)) with defaults must not collide with the
+    kept input column; writing onto an existing name raises."""
+    from osmspark.datagen import gen_vectors
+
+    df = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(gen_vectors(spark, 5, 8)))
+    assert "dequantized" in df.columns and "embedding" in df.columns
+    df.select("embedding", "dequantized").collect()   # unambiguous
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        similarity.dequantize_embeddings(
+            similarity.quantize_embeddings(gen_vectors(spark, 5, 8)),
+            out_col="embedding")

@@ -109,3 +109,42 @@ def test_overlay_no_cartesian_and_vectorized(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_overlay_coincident_and_shared_edge(spark):
+    """Identical rings (duplicated geofence) must match — every vertex is
+    ON the boundary and all edges are collinear, so only the interior-
+    point leg can see it.  A pair separated by a sliver (clearly zero
+    overlap, no shared boundary — exact boundary-touch is the documented
+    even-odd ambiguity and is deliberately NOT asserted) must not
+    match."""
+    tri = [(1.20, 103.70), (1.30, 103.75), (1.20, 103.80), (1.20, 103.70)]
+    a = _mk(spark, [("t1", tri), ("r1", _rect(1.40, 1.45, 103.70, 103.75))])
+    b = _mk(spark, [("t2", tri),
+                    ("r2", _rect(1.40, 1.45, 103.7500002, 103.80))])
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_intersect_join(a, b, res=7).collect()}
+    assert ("t1", "t2") in got            # coincident -> intersecting
+    assert ("r1", "r2") not in got        # sliver-separated -> excluded
+
+
+def test_overlay_predicate_antimeridian_frames():
+    """Edge-cross leg must work across longitude frames: an unwrapped
+    ring (175..185) crossing a ring expressed at -179..-177."""
+    import numpy as np
+
+    from osmspark.operators.overlay import polygons_intersect_np
+
+    # wide flat bar crossing the antimeridian, unwrapped representation
+    a = [(0.0, 175.0), (0.0, 185.0), (1.0, 185.0), (1.0, 175.0), (0.0, 175.0)]
+    # tall thin bar at -179..-178.5 (== 181..181.5), plus-sign overlap
+    b = [(-1.0, -179.0), (-1.0, -178.5), (2.0, -178.5), (2.0, -179.0),
+         (-1.0, -179.0)]
+    alat = np.array([p[0] for p in a]); alon = np.array([p[1] for p in a])
+    blat = np.array([p[0] for p in b]); blon = np.array([p[1] for p in b])
+    assert polygons_intersect_np(alat, alon, blat, blon)
+    # and a genuinely distant ring stays negative across frames
+    c = [(-1.0, -150.0), (-1.0, -149.0), (2.0, -149.0), (2.0, -150.0),
+         (-1.0, -150.0)]
+    clat = np.array([p[0] for p in c]); clon = np.array([p[1] for p in c])
+    assert not polygons_intersect_np(alat, alon, clat, clon)

@@ -157,3 +157,23 @@ def test_ring_area_rectangles_analytic(spark):
     assert out.collect()[0]["area"] == 0.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_radius_auto_accepts_res_and_bounds_broadcast(nodes, queries):
+    """res must be routable through the auto dispatcher on BOTH sides of
+    the threshold (it only applies to the cell path), and a huge query
+    side must route to the cell path even when the pair product is under
+    the cap (the brute path broadcasts the queries)."""
+    pts = nodes.select("id", "lat", "lon").limit(50)
+    brute_side = rj.within_distance_auto(
+        pts, queries, 3000.0, brute_cost_cap=1e18, res=8)
+    cell_side = rj.within_distance_auto(
+        pts, queries, 3000.0, brute_cost_cap=0, res=8)
+    a = {(r["query_id"], r["point_id"]) for r in brute_side.collect()}
+    b = {(r["query_id"], r["point_id"]) for r in cell_side.collect()}
+    assert a == b
+    # 5 queries x 50 points = 250 pairs < cap, but query cap 2 forces cell
+    forced = rj.within_distance_auto(
+        pts, queries, 3000.0, brute_cost_cap=1e18, brute_query_cap=2)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan   # the cell path's disk UDF

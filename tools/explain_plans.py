@@ -259,8 +259,11 @@ def main() -> None:
 
     add(
         "Hex rollup pyramid (round 4 — one point scan, parent-fold levels)",
+        # materialize=False: the default eagerly localCheckpoints each
+        # level, so the audited plan would be just checkpoint scans + a
+        # Union — assertions about the REAL operator plan need it off
         cell_rollup_pyramid(nodes.select("lat", "lon"), fine_res=9,
-                            coarse_res=7),
+                            coarse_res=7, materialize=False),
         [("points cell-assigned ONCE — exactly one scan feeds the base "
           "level, coarser levels fold the level below",
           lambda p: "Union" in p),
