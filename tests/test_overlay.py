@@ -148,3 +148,34 @@ def test_overlay_predicate_antimeridian_frames():
          (-1.0, -150.0)]
     clat = np.array([p[0] for p in c]); clon = np.array([p[1] for p in c])
     assert not polygons_intersect_np(alat, alon, clat, clon)
+
+
+def test_polygon_contains_join(spark):
+    """Containment: strict subset detected; partial overlap and the
+    concave trap (all four vertices of B inside a U-shaped A but B's body
+    crossing the notch) are rejected."""
+    from osmspark.operators.overlay import polygon_contains_join
+
+    # U-shape (concave): arms at lon [.70,.71] and [.72,.73], notch between
+    u = [(1.20, 103.70), (1.23, 103.70), (1.23, 103.73), (1.20, 103.73),
+         (1.20, 103.72), (1.22, 103.72), (1.22, 103.71), (1.20, 103.71),
+         (1.20, 103.70)]
+    a = _mk(spark, [
+        ("big", _rect(1.30, 1.40, 103.80, 103.90)),
+        ("u", u),
+    ])
+    b = _mk(spark, [
+        ("inside_big", _rect(1.32, 1.38, 103.82, 103.88)),
+        ("partial", _rect(1.38, 1.45, 103.88, 103.95)),
+        # all 4 vertices inside U's arms, body crosses the notch
+        ("notch_spanner", _rect(1.205, 1.215, 103.705, 103.725)),
+    ])
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_contains_join(a, b, res=7).collect()}
+    assert ("big", "inside_big") in got
+    assert ("big", "partial") not in got
+    assert ("u", "notch_spanner") not in got
+    # sanity: the intersect join DOES see the concave-trap pair
+    inter = {(r["a_id"], r["b_id"])
+             for r in polygon_intersect_join(a, b, res=7).collect()}
+    assert ("u", "notch_spanner") in inter

@@ -99,6 +99,35 @@ def main() -> None:
         F.sum(F.element_at("qvec", 1).cast("long")))
     bench("quantize_500k_x64", lambda: qz_df.collect())
 
+    # polygon-polygon overlay at dim scale: a 100x100 rect grid vs a
+    # half-pitch-shifted copy (each polygon overlaps ~4 neighbors)
+    from osmspark.operators.overlay import polygon_intersect_join
+
+    def _grid(shift_la, shift_lo, tag):
+        g = spark.range(10_000).select(
+            F.concat(F.lit(tag), F.col("id")).alias("poly_id"),
+            F.lit("zip").alias("level"),
+            (F.lit(1.13) + (F.col("id") % 100) * F.lit(0.0034)
+             + F.lit(shift_la)).alias("la0"),
+            (F.lit(103.6) + F.floor(F.col("id") / 100) * F.lit(0.005)
+             + F.lit(shift_lo)).alias("lo0"),
+        )
+        pt = lambda a, o: F.struct(a.alias("lat"), o.alias("lon"))
+        la0, lo0 = F.col("la0"), F.col("lo0")
+        la1, lo1 = la0 + F.lit(0.004), lo0 + F.lit(0.006)
+        return g.select(
+            "poly_id", "level",
+            F.array(pt(la0, lo0), pt(la0, lo1), pt(la1, lo1),
+                    pt(la1, lo0), pt(la0, lo0)).alias("ring"),
+            F.lit(None).cast("string").alias("postcode"),
+        )
+
+    ga = _grid(0.0, 0.0, "a").persist()
+    gb = _grid(0.0017, 0.0025, "b").persist()
+    ga.count(), gb.count()
+    ovl_df = polygon_intersect_join(ga, gb, res=9)
+    bench("overlay_10k_x_10k_polys", lambda: ovl_df.count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count
