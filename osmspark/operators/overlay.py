@@ -149,14 +149,16 @@ def polygons_intersect_np(alat, alon, blat, blon) -> bool:
     return False
 
 
-def polygon_intersect_join(
+def _pairwise_polygon_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
-    res: int = 7,
+    res: int,
+    predicate,
 ) -> DataFrame:
-    """(a_id, b_id) for every intersecting pair.  Both inputs use the
-    engine polygon schema (poly_id, level, ring, postcode); neither side
-    is collected to the driver."""
+    """Shared scaffold of the overlay joins: cover-cell candidate
+    equi-join of two polygon dims, one row per candidate (a, b) pair,
+    filtered by the given numpy pair `predicate(alat, alon, blat,
+    blon) -> bool` inside one Arrow UDF."""
     pa = prepare_polygons(polys_a, res).select(
         F.col("poly_id").alias("a_id"),
         F.col("ring_lat").alias("__alat"),
@@ -179,7 +181,7 @@ def polygon_intersect_join(
                blat: pd.Series, blon: pd.Series) -> pd.Series:
         out = np.zeros(len(alat), dtype=bool)
         for i in range(len(alat)):
-            out[i] = polygons_intersect_np(
+            out[i] = predicate(
                 np.asarray(alat.iloc[i], dtype=np.float64),
                 np.asarray(alon.iloc[i], dtype=np.float64),
                 np.asarray(blat.iloc[i], dtype=np.float64),
@@ -192,6 +194,18 @@ def polygon_intersect_join(
                            F.col("__blat"), F.col("__blon")))
         .select("a_id", "b_id")
     )
+
+
+def polygon_intersect_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """(a_id, b_id) for every intersecting pair.  Both inputs use the
+    engine polygon schema (poly_id, level, ring, postcode); neither side
+    is collected to the driver."""
+    return _pairwise_polygon_join(polys_a, polys_b, res,
+                                  polygons_intersect_np)
 
 
 def _all_vertices_inside(vlat, vlon, ring_lat, ring_lon) -> bool:
@@ -221,35 +235,5 @@ def polygon_contains_join(
     B — 'which ZIP sits inside which admin area'.  Same cover-cell
     candidate join as polygon_intersect_join; the verifier swaps in the
     containment predicate."""
-    pa = prepare_polygons(polys_a, res).select(
-        F.col("poly_id").alias("a_id"),
-        F.col("ring_lat").alias("__alat"),
-        F.col("ring_lon").alias("__alon"),
-        "cell",
-    )
-    pb = prepare_polygons(polys_b, res).select(
-        F.col("poly_id").alias("b_id"),
-        F.col("ring_lat").alias("__blat"),
-        F.col("ring_lon").alias("__blon"),
-        "cell",
-    )
-    cand = pa.join(pb, "cell").dropDuplicates(["a_id", "b_id"])
-
-    @F.pandas_udf(T.BooleanType())
-    def verify(alat: pd.Series, alon: pd.Series,
-               blat: pd.Series, blon: pd.Series) -> pd.Series:
-        out = np.zeros(len(alat), dtype=bool)
-        for i in range(len(alat)):
-            out[i] = polygon_contains_np(
-                np.asarray(alat.iloc[i], dtype=np.float64),
-                np.asarray(alon.iloc[i], dtype=np.float64),
-                np.asarray(blat.iloc[i], dtype=np.float64),
-                np.asarray(blon.iloc[i], dtype=np.float64),
-            )
-        return pd.Series(out)
-
-    return (
-        cand.filter(verify(F.col("__alat"), F.col("__alon"),
-                           F.col("__blat"), F.col("__blon")))
-        .select("a_id", "b_id")
-    )
+    return _pairwise_polygon_join(polys_a, polys_b, res,
+                                  polygon_contains_np)

@@ -416,6 +416,9 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     instead of re-evaluating the max per lane.  Zero vectors quantize to
     zeros with scale 1 (no divide-by-zero NaNs).  `dequantize_embeddings`
     is the exact inverse map (up to the quantization error)."""
+    for c in (out_col, scale_col):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
     amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
     s1 = df.select("*", scale.cast("double").alias(scale_col))

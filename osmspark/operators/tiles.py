@@ -233,10 +233,12 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
     rollup step shrinks ~7x (aperture-7) and the whole pyramid above the
     base costs a vanishing fraction of the base aggregation.  Parents
     follow the engine's H3 semantics (approximate containment: child
-    CENTER re-assigned at the parent res) — pyramid counts therefore
-    match re-assigning each point's fine CELL CENTER at the coarse res,
-    not re-assigning the raw points (tested; the deviation is points in
-    the sliver where a child hex overhangs its parent).
+    CENTER re-assigned one level up) applied ITERATIVELY — level r is
+    the parent-fold of level r+1, so a cell two or more levels below
+    fine reaches its ancestor via parent-of-parent, which in aperture-7
+    sliver zones can differ from re-assigning the fine center directly
+    at the coarse res (and both can differ from re-assigning the raw
+    points).  The iterative identity is what the tests pin.
 
     Output: (res, cell, cnt) for every level.
 

@@ -138,8 +138,13 @@ def streaming_radius_alerts(
     (equivalence-tested)."""
     from ..operators.radius_join import query_disk_cells, within_distance_join
 
-    pts = points if (lat, lon) == ("lat", "lon") else points.select(
-        "*", F.col(lat).alias("lat"), F.col(lon).alias("lon"))
+    # rename via drop-then-alias: a plain select("*", alias) would leave
+    # any pre-existing lat/lon columns in place and make the downstream
+    # F.col("lat") ambiguous
+    pts = points if (lat, lon) == ("lat", "lon") else (
+        points.drop("lat", "lon")
+        .select("*", F.col(lat).alias("lat"), F.col(lon).alias("lon"))
+    )
     q, used_res = query_disk_cells(queries, radius, metric=metric, res=res)
     q = q.localCheckpoint(eager=True)
     return within_distance_join(

@@ -734,3 +734,12 @@ def test_dequantize_default_composes(spark):
         similarity.dequantize_embeddings(
             similarity.quantize_embeddings(gen_vectors(spark, 5, 8)),
             out_col="embedding")
+
+
+def test_quantize_rejects_existing_output_cols(spark):
+    from osmspark.datagen import gen_vectors
+
+    q = similarity.quantize_embeddings(gen_vectors(spark, 3, 4))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        similarity.quantize_embeddings(q)   # qvec/qscale already there

@@ -177,3 +177,11 @@ def test_radius_auto_accepts_res_and_bounds_broadcast(nodes, queries):
         pts, queries, 3000.0, brute_cost_cap=1e18, brute_query_cap=2)
     plan = forced._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan   # the cell path's disk UDF
+
+
+def test_radius_brute_rejects_nonpositive(spark, nodes, queries):
+    pts = nodes.select("id", "lat", "lon").limit(10)
+    with pytest.raises(ValueError, match="positive"):
+        rj.within_distance_bruteforce(pts, queries, -5.0, metric="sq_deg")
+    with pytest.raises(ValueError, match="positive"):
+        rj.within_distance_auto(pts, queries, 0.0)
