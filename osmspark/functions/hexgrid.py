@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .geo import latlon_to_xyz, xyz_to_latlon
+from ..config import EARTH_RADIUS_M
+from .geo import haversine_np, latlon_to_xyz, xyz_to_latlon
 from .s2 import face_uv_to_xyz, xyz_to_face_uv
 
 # aperture-7 rotation between consecutive resolutions (published H3 constant)
@@ -161,6 +162,321 @@ def kring(cell, k: int):
     resb = np.broadcast_to(res[:, None], qq.shape)
     faceb = np.broadcast_to(face[:, None], qq.shape)
     return pack(resb, faceb, qq, rr)
+
+
+# --- multi-face disk cover (seam-exact candidate generation) ---------------
+# A kring() is exact only in the home face's axial frame: points across a
+# cube-face seam are assigned to cells on the NEIGHBOR face (different face
+# bits, different axial frame), so a same-face k-ring silently misses them.
+# disk_cells() closes that hole: the home-face ring plus, for disks that
+# spill past a face boundary, anchor rings re-projected onto each spilled
+# neighbor face (BFS fixpoint, the spatial_join._cover_piece_flagged
+# pattern lifted to point disks).
+
+# Unit axis of each cube face (S2 face layout; s2.face_uv_to_xyz).
+FACE_AXES = np.array([
+    [1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1],
+], dtype=np.float64)
+
+# Operating-envelope cap for point-disk covers.  The uv-exact ring bound
+# below (`ring_count_uv`) is provably complete at any radius, but disk
+# fanout grows ~(cover/cell)^2 and past a couple hundred km a disk
+# approaches face scale — the polygon-cover join (adaptive res, scale
+# sampled along edges) is the right tool there.  Enforced loudly by
+# disk_cells so a mis-sized radius fails fast instead of exploding.
+MAX_COVER_M = 200_000.0
+
+
+def measured_radius_m(cells: np.ndarray) -> np.ndarray:
+    """Local hex circumradius in meters, measured from each cell's actual
+    ring-1 neighbor spacing (spacing s = sqrt(3)*R) — exact local gnomonic
+    scale, valid at face edges (the knn._radius_m_udf core, factored out)."""
+    ring1 = kring(np.asarray(cells, dtype=np.int64), 1)  # (n, 7), col 0 = self
+    la, lo = cell_center_latlon(ring1.ravel())
+    la = la.reshape(ring1.shape)
+    lo = lo.reshape(ring1.shape)
+    spacing = haversine_np(
+        np.repeat(la[:, :1], 6, axis=1),
+        np.repeat(lo[:, :1], 6, axis=1),
+        la[:, 1:],
+        lo[:, 1:],
+    ).min(axis=1)
+    return spacing / _SQRT3
+
+
+@functools.lru_cache(maxsize=None)
+def face_neighbor(f: int, side: str) -> int:
+    """The cube face across one boundary of face `f`'s uv square
+    ('u+','u-','v+','v-'), derived numerically (probe beyond the midpoint
+    and ask xyz_to_face_uv who owns it — each cube edge has one owner)."""
+    u, v = {"u+": (1.2, 0.0), "u-": (-1.2, 0.0),
+            "v+": (0.0, 1.2), "v-": (0.0, -1.2)}[side]
+    x, y, z = face_uv_to_xyz(np.array([f]), np.array([u]), np.array([v]))
+    nf, _, _ = xyz_to_face_uv(x, y, z)
+    return int(nf[0])
+
+
+def _uv_on_face(f: int, x, y, z):
+    """Gnomonic (u, v) of points onto the plane of a GIVEN face `f` — the
+    per-face inverse of s2.face_uv_to_xyz; |u|/|v| may exceed 1 for points
+    that live off-face (caller checks the hemisphere via FACE_AXES dot)."""
+    if f == 0:
+        return y / x, z / x
+    if f == 1:
+        return -x / y, z / y
+    if f == 2:
+        return -x / z, -y / z
+    if f == 3:
+        return z / x, y / x
+    if f == 4:
+        return z / y, -x / y
+    return -y / z, -x / z
+
+
+# --- uv-exact coverage bounds ----------------------------------------------
+# The axial hex lattice is EXACTLY uniform on the face uv plane (constant
+# circumradius r_uv = RES0_R / sqrt(7)^res; see _axial_to_xy), and the
+# gnomonic projection maps geodesics to straight uv lines.  The projection
+# Jacobian's Gram matrix at (u, v) is 1/n^4 * [[1+v^2, -uv], [-uv, 1+u^2]]
+# with n^2 = 1 + u^2 + v^2, whose eigenvalues are exactly 1/n^2 and 1/n^4 —
+# so meters-per-uv lies in [R_e/n^2, R_e/n].  Two exact consequences:
+#
+#  * ring_count_uv: a geodesic of length L meters starting at (u, v)
+#    cannot leave the uv disk of radius e = L * n_max^2 / R_e before
+#    spending its length (speed in uv <= n_max^2 / R_e inside the disk),
+#    so k rings with (1.5k - 1) * r_uv >= e cover every point within L
+#    meters (hex apothem bound, measured from the query point which sits
+#    inside its own cell).
+#  * claim_m: conversely kring(k) provably contains every point within
+#    (1.5k - 1) * r_uv * R_e / n_max^2 meters — the kNN doneness claim.
+#
+# n_max^2 is evaluated over the relevant uv disk; for home-face calls the
+# reachable points all lie inside the face square so |u|,|v| clip at 1,
+# for neighbor-face anchor calls the (off-face) query uv is kept unclipped
+# (conservative).  This replaces the earlier measured-local-R heuristic
+# whose fixed 10% slack under-covered near face edges.
+
+
+def _n2_max(u, v, e, clip: bool):
+    """Worst n^2 = 1 + u^2 + v^2 over the uv box of half-width `e` around
+    (u, v), optionally clipped to the face square (vectorized)."""
+    ua = np.abs(np.asarray(u, dtype=np.float64)) + e
+    va = np.abs(np.asarray(v, dtype=np.float64)) + e
+    if clip:
+        ua = np.minimum(ua, 1.0)
+        va = np.minimum(va, 1.0)
+    return 1.0 + ua * ua + va * va
+
+
+def ring_count_uv(cover_m, u, v, res: int, clip: bool = True):
+    """Exact ring count so kring(k) around the cell containing uv point
+    (u, v) covers every point within `cover_m` meters (see block comment;
+    vectorized)."""
+    cover = np.asarray(cover_m, dtype=np.float64)
+    r_uv = RES0_R / (SQRT7 ** res)
+    e0 = cover * 3.0 / EARTH_RADIUS_M  # n^2 <= 3 seed for the disk extent
+    e_uv = cover * _n2_max(u, v, e0, clip) / EARTH_RADIUS_M
+    k = np.ceil((e_uv / r_uv + 1.0) / 1.5)
+    return np.maximum(k.astype(np.int64), 1)
+
+
+def claim_m(u, v, rings, res: int, clip: bool = True):
+    """Meters provably covered by kring(rings) around the cell containing
+    uv point (u, v) — the doneness claim dual of ring_count_uv
+    (vectorized)."""
+    r_uv = RES0_R / (SQRT7 ** res)
+    e_uv = (1.5 * np.asarray(rings, dtype=np.float64) - 1.0) * r_uv
+    return e_uv * EARTH_RADIUS_M / _n2_max(u, v, e_uv, clip)
+
+
+def _spill_sides(u, v, ext):
+    """Which uv-square boundaries a disk of uv-extent `ext` around (u, v)
+    crosses.  Scalar inputs -> list of side tags."""
+    out = []
+    if u + ext > 1.0:
+        out.append("u+")
+    if u - ext < -1.0:
+        out.append("u-")
+    if v + ext > 1.0:
+        out.append("v+")
+    if v - ext < -1.0:
+        out.append("v-")
+    return out
+
+
+def disk_cells(lats, lons, cover_m, res: int, max_ring: int | None = None):
+    """Seam-exact candidate cover: for each (lat, lon, cover) returns the
+    array of ALL cells at `res` — on any cube face — that can contain a
+    point within `cover_m` meters of the query.
+
+    Home face: a k-ring sized by the uv-exact bound (`ring_count_uv`,
+    provably covering in the home axial frame).  Seam spill: if the ring's
+    padded uv extent crosses a face boundary, the query is re-projected
+    onto the neighbor face's gnomonic plane, rounded to an ANCHOR cell in
+    that face's axial frame (the query's reprojection lies inside the
+    anchor cell), and a uv-exact k-ring covering cover_m is generated
+    there; spill checks repeat per face (BFS, <= 6 faces).  Raises on
+    cover_m > MAX_COVER_M (operating-envelope cap) and on per-query ring
+    counts above `max_ring` (pathologically fine res for the radius) —
+    loud, never silently incomplete."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    cover = np.broadcast_to(
+        np.asarray(cover_m, dtype=np.float64), lats.shape
+    ).astype(np.float64)
+    if np.any(cover > MAX_COVER_M):
+        raise ValueError(
+            f"disk cover radius {float(cover.max()):.0f} m exceeds "
+            f"MAX_COVER_M={MAX_COVER_M:.0f} m — past a couple hundred km "
+            "a point-disk cover approaches face scale; split the query "
+            "radius or use the polygon cover path"
+        )
+    x, y, z = latlon_to_xyz(lats, lons)
+    home = latlon_to_cell(lats, lons, res)
+    hface = ((home >> 56) & 0x7).astype(np.int64)
+    u0, v0 = _uv_on_face_batch(hface, x, y, z)
+    rings = ring_count_uv(cover, u0, v0, res)
+    if max_ring is not None and np.any(rings > max_ring):
+        raise ValueError(
+            f"disk cover at res={res} needs ring {int(rings.max())} > "
+            f"{max_ring} for this radius; use a coarser res (or res=None "
+            "for auto)"
+        )
+    return _multiface_rings(home, x, y, z, rings, cover, res, max_ring)
+
+
+def kring_spill(cells, lats, lons, rings, covered_m, res: int,
+                max_ring: int | None = None):
+    """Seam-exact k-ring with a CALLER-CHOSEN home ring count: home-face
+    kring(rings[i]) exactly as `kring` (the kNN round loop's doubling
+    schedule keeps its cell economics), plus neighbor-face anchor rings
+    covering `covered_m[i]` meters wherever the padded home ring spills
+    over a face boundary.  `covered_m` must not exceed what the home ring
+    provably covers — `claim_m(u, v, rings, res)`, which the kNN loop
+    uses as its doneness claim."""
+    cells = np.asarray(cells, dtype=np.int64)
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    rings = np.asarray(rings, dtype=np.int64)
+    covered = np.asarray(covered_m, dtype=np.float64)
+    x, y, z = latlon_to_xyz(lats, lons)
+    return _multiface_rings(cells, x, y, z, rings, covered, res, max_ring)
+
+
+def _multiface_rings(home, x, y, z, rings, cover, res: int,
+                     max_ring: int | None):
+    """Shared core of disk_cells / kring_spill: home rings + spill BFS."""
+    hface = ((home >> 56) & 0x7).astype(np.int64)
+
+    out: list = [None] * len(home)
+    # home-face rings, batched by distinct ring value
+    for rv in np.unique(rings):
+        m = rings == rv
+        arr = kring(home[m], int(rv))
+        for i, row in zip(np.nonzero(m)[0], arr):
+            out[i] = row
+
+    # seam spill: conservative uv extent of the padded ring — k axial steps
+    # of sqrt(3)*radius_uv spacing, plus 2 circumradii (cell reach + round)
+    radius_uv = RES0_R / (SQRT7 ** res)
+    u0, v0 = _uv_on_face_batch(hface, x, y, z)
+    ext = (rings * _SQRT3 + 2.0) * radius_uv
+    spilled = ((np.abs(u0) + ext > 1.0) | (np.abs(v0) + ext > 1.0))
+    for i in np.nonzero(spilled)[0]:
+        parts = [out[i]]
+        seen = {int(hface[i])}
+        queue = [
+            face_neighbor(int(hface[i]), s)
+            for s in _spill_sides(float(u0[i]), float(v0[i]), float(ext[i]))
+        ]
+        while queue:
+            nf = queue.pop()
+            if nf in seen:
+                continue
+            seen.add(nf)
+            ax = FACE_AXES[nf]
+            dot = x[i] * ax[0] + y[i] * ax[1] + z[i] * ax[2]
+            if dot <= 0.05:
+                continue  # off-hemisphere probe; a capped disk can't reach
+            un, vn = _uv_on_face(nf, x[i], y[i], z[i])
+            qf, rf = _xy_to_axial(np.array([un]), np.array([vn]), res)
+            aq, ar = _axial_round(qf, rf)
+            anchor = pack(np.array([res], dtype=np.int64),
+                          np.array([nf], dtype=np.int64), aq, ar)
+            # uv-exact anchor ring in the NEIGHBOR frame; the off-face
+            # query uv stays unclipped (conservative n^2)
+            kn = int(ring_count_uv(cover[i], un, vn, res, clip=False))
+            if max_ring is not None and kn > max_ring:
+                raise ValueError(
+                    f"disk cover at res={res} needs ring {kn} > {max_ring} "
+                    "on a neighbor face; use a coarser res (or res=None)"
+                )
+            parts.append(kring(anchor, kn)[0])
+            extn = (kn * _SQRT3 + 2.0) * radius_uv
+            for s in _spill_sides(float(un), float(vn), extn):
+                nn = face_neighbor(nf, s)
+                if nn not in seen:
+                    queue.append(nn)
+        out[i] = np.unique(np.concatenate(parts))
+    return out
+
+
+def _uv_on_face_batch(faces, x, y, z):
+    """_uv_on_face for per-element face ids (vectorized by face value)."""
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f in np.unique(faces):
+        m = faces == f
+        u[m], v[m] = _uv_on_face(int(f), x[m], y[m], z[m])
+    return u, v
+
+
+def disk_cells_udf(res: int, max_ring: int | None = None):
+    """Arrow pandas UDF: (lat, lon, cover_m) -> array<long> of the
+    seam-exact candidate cells (disk_cells over the batch)."""
+    if not 0 <= res <= 15:
+        raise ValueError("res must be in [0, 15]")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hex_disk(lat: pd.Series, lon: pd.Series, cover: pd.Series) -> pd.Series:
+        cells = disk_cells(lat.to_numpy(), lon.to_numpy(), cover.to_numpy(),
+                           res, max_ring=max_ring)
+        return pd.Series(cells)
+
+    return hex_disk
+
+
+def kring_spill_udf(res: int, max_ring: int | None = None):
+    """Arrow pandas UDF: (cell, lat, lon, ring, covered_m) -> array<long>
+    seam-exact k-ring (kring_spill over the batch) — the kNN round loop's
+    candidate generator."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hex_kring_spill(cell: pd.Series, lat: pd.Series, lon: pd.Series,
+                        ring: pd.Series, covered: pd.Series) -> pd.Series:
+        cells = kring_spill(cell.to_numpy(), lat.to_numpy(), lon.to_numpy(),
+                            ring.to_numpy(), covered.to_numpy(), res,
+                            max_ring=max_ring)
+        return pd.Series(cells)
+
+    return hex_kring_spill
+
+
+def claim_m_udf(res: int):
+    """Arrow pandas UDF: (lat, lon, ring) -> meters provably covered by
+    kring(ring) around the point's home cell (`claim_m` over the batch) —
+    the kNN doneness claim, exact at face edges."""
+
+    @F.pandas_udf(T.DoubleType())
+    def hex_claim_m(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
+        la = lat.to_numpy()
+        lo = lon.to_numpy()
+        x, y, z = latlon_to_xyz(la, lo)
+        face, _, _ = xyz_to_face_uv(x, y, z)
+        u, v = _uv_on_face_batch(face.astype(np.int64), x, y, z)
+        return pd.Series(claim_m(u, v, ring.to_numpy(), res))
+
+    return hex_claim_m
 
 
 # --- Spark surface ---------------------------------------------------------

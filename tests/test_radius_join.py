@@ -94,7 +94,7 @@ def test_radius_join_too_fine_res_raises(nodes, queries):
     pts = nodes.select("id", "lat", "lon")
     with pytest.raises(Exception) as ei:
         rj.within_distance_join(pts, queries, 50000.0, res=12).collect()
-    assert "within_distance_join" in str(ei.value) or isinstance(
+    assert "coarser res" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError)
 
 
