@@ -179,3 +179,71 @@ def test_polygon_contains_join(spark):
     inter = {(r["a_id"], r["b_id"])
              for r in polygon_intersect_join(a, b, res=7).collect()}
     assert ("u", "notch_spanner") in inter
+
+
+def test_batch_kernels_agree_with_scalar_predicates():
+    """The factorized batch kernels are the join's hot path; the scalar
+    predicates are the spec.  Random rectangle/triangle soup, all pairs,
+    both predicates, exact agreement."""
+    import numpy as np
+
+    from osmspark.operators import overlay as ov
+
+    rng = np.random.default_rng(23)
+    rings = {}
+    for i in range(40):
+        la0 = rng.uniform(0.0, 2.0)
+        lo0 = rng.uniform(103.0, 105.0)
+        dla = rng.uniform(0.05, 0.6)
+        dlo = rng.uniform(0.05, 0.6)
+        if i % 3:
+            ring = _rect(la0, la0 + dla, lo0, lo0 + dlo)
+        else:
+            ring = [(la0, lo0), (la0 + dla, lo0 + dlo / 2), (la0, lo0 + dlo),
+                    (la0, lo0)]
+        rings[f"p{i}"] = (np.array([p[0] for p in ring]),
+                          np.array([p[1] for p in ring]))
+    # a duplicated ring and a shared-boundary child for the edge legs
+    rings["dup"] = rings["p0"]
+    la, lo = rings["p1"]
+    rings["child"] = (np.array([la[0], la[0], la[2], la[2], la[0]]),
+                      np.array([lo[0], (lo[0] + lo[1]) / 2,
+                                (lo[0] + lo[1]) / 2, lo[0], lo[0]]))
+
+    ids = sorted(rings)
+    aid = np.array([a for a in ids for _ in ids])
+    bid = np.array([b for _ in ids for b in ids])
+    got_i = ov._batch_intersect(aid, bid, rings, rings)
+    got_c = ov._batch_contains(aid, bid, rings, rings)
+    for k in range(len(aid)):
+        A = rings[aid[k]]
+        B = rings[bid[k]]
+        assert got_i[k] == ov.polygons_intersect_np(A[0], A[1], B[0], B[1]), (
+            aid[k], bid[k], "intersect")
+        assert got_c[k] == ov.polygon_contains_np(A[0], A[1], B[0], B[1]), (
+            aid[k], bid[k], "contains")
+    # self-pairs are both intersecting and (closed-containment) contained
+    self_rows = aid == bid
+    assert got_i[self_rows].all()
+    assert got_c[self_rows].all()
+
+
+def test_polygon_contains_shared_boundary(spark):
+    """A child ring reusing its parent's boundary coordinates bit-for-bit
+    (the 'ZIP inside admin' headline) counts as contained; a sibling
+    sharing the boundary from OUTSIDE does not."""
+    from osmspark.operators.overlay import polygon_contains_join
+
+    parent = _rect(1.20, 1.40, 103.70, 103.90)
+    # left half of the parent: shares three full parent edges
+    child = _rect(1.20, 1.40, 103.70, 103.80)
+    # sits right of the parent, sharing the lon=103.90 edge from outside
+    outside = _rect(1.20, 1.40, 103.90, 104.00)
+    a = _mk(spark, [("parent", parent)])
+    b = _mk(spark, [("child", child), ("outside", outside),
+                    ("same", parent)])
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_contains_join(a, b, res=7).collect()}
+    assert ("parent", "child") in got
+    assert ("parent", "same") in got
+    assert ("parent", "outside") not in got
