@@ -22,6 +22,20 @@ Scale shape: ONE shuffle on the `by` key, then a per-key ordered window
 history must sort within one task (the same contract Spark's own
 sessionization has).  No Python anywhere.
 
+For LOW-CARDINALITY or global keys that contract is the bottleneck (one
+key's whole history serializes through one task), so `range_buckets=B`
+switches to a range-partitioned merge: the timeline is cut at quantile
+boundaries of the left side's `on` column (a driver-side list of B-1
+doubles — the only collect), every row lands in its time bucket, and
+each bucket is seeded with the winning right row of the nearest earlier
+bucket that has right data (carried via lead() over the per-key bucket
+list plus a bounded sequence-explode — O(B) seed rows per key, never
+O(B^2)).  The same union-window merge then runs partitioned by
+(by, bucket): one global key spreads over B tasks and results are
+IDENTICAL to the window path, including tie-breaks, because bucket
+index is monotone in `on` (equal timestamps share a bucket) and each
+seed sorts strictly before every row of its target bucket.
+
 direction='backward' matches the greatest right.on <= left.on (the
 default, pandas.merge_asof semantics); 'forward' the smallest right.on
 >= left.on.  `tolerance` (same-type difference as `on`) nulls out
@@ -54,15 +68,26 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "_right",
+    range_buckets: int | None = None,
 ) -> DataFrame:
     """Every left row, plus the as-of-matched right row's columns (each
-    renamed with `suffix`; null when no match / outside tolerance)."""
+    renamed with `suffix`; null when no match / outside tolerance).
+    `range_buckets=B` range-partitions the merge over B time buckets —
+    use it when `by` is absent or low-cardinality, where the default
+    per-key window would serialize a whole key through one task."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_list = [by] if isinstance(by, str) else list(by or [])
     for c in by_list + [on]:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist on both sides")
+    clash = {c + suffix for c in right.columns} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"suffix {suffix!r} makes right column(s) {sorted(clash)} "
+            "collide with left columns — pass a different suffix")
+    if range_buckets is not None and range_buckets < 2:
+        raise ValueError("range_buckets must be >= 2 (or None)")
 
     l_struct = T.StructType(left.schema.fields)
     r_struct = T.StructType(right.schema.fields)
@@ -89,19 +114,41 @@ def asof_join(
     # types cannot be sort keys) — deterministic, but WHICH equal-ts row
     # wins is then unspecified
     if _orderable(r_struct):
-        tiebreak = F.col("__r").asc()
+        tie_expr = F.col("__r")
     else:
-        tiebreak = F.xxhash64(F.to_json(F.col("__r"))).asc_nulls_first()
+        tie_expr = F.xxhash64(F.to_json(F.col("__r")))
+    tiebreak = tie_expr.asc_nulls_first()
     t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+
+    part_cols = list(by_list)
+    merged = lt.unionByName(rt)
+    seed_tbl = None
+    if range_buckets is not None:
+        merged, seed_tbl = _range_bucketed(
+            lt, rt, by_list, direction, tie_expr, range_buckets)
+        if seed_tbl is not None:
+            part_cols = by_list + ["__b"]
+
     w = (
-        Window.partitionBy(*by_list)
+        Window.partitionBy(*part_cols)
         .orderBy(t_order, F.col("__is_l").asc(), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     m = (
-        lt.unionByName(rt)
+        merged
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__is_l") == 1)
+    )
+    if seed_tbl is not None:
+        # rows whose bucket held no prior right row take the carried seed
+        # from the (by, bucket) dim — broadcast: <= keys x buckets rows
+        m = (
+            m.join(F.broadcast(seed_tbl), on=part_cols, how="left")
+            .withColumn("__m", F.coalesce(F.col("__m"), F.col("__seed")))
+            .drop("__seed")
+        )
+    m = (
+        m
         # a null-timestamp LEFT row matches nothing (in forward mode DESC
         # NULLS LAST would otherwise hand it the minimum-ts right row)
         .withColumn("__m", F.when(F.col("__t").isNotNull(), F.col("__m")))
@@ -120,3 +167,75 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(c + suffix) for c in right.columns],
     )
+
+
+def _range_bucketed(
+    lt: DataFrame,
+    rt: DataFrame,
+    by_list: list,
+    direction: str,
+    tie_expr,
+    nb: int,
+):
+    """(tagged union with a `__b` time-bucket column, seed dim table) —
+    see the module docstring.  Bucket index is computed on SIGNED time
+    (negated for forward mode) so lower bucket always means earlier in
+    the window's processing order, and the per-bucket winner expression
+    mirrors the running-last tiebreak exactly (max of (signed time,
+    tiebreak)).  The seed dim holds, per (by, target bucket), the right
+    row the running-last would carry INTO that bucket; it joins back
+    broadcast, not unioned, so a bucket's left rows that precede its
+    first right row still match."""
+    sign = 1.0 if direction == "backward" else -1.0
+    key = F.col("__t").cast("double") * F.lit(sign)
+    # quantile boundaries of the left timeline: the ONLY driver-side
+    # materialization, <= nb-1 doubles
+    probs = [i / nb for i in range(1, nb)]
+    vals = (
+        lt.filter(F.col("__t").isNotNull())
+        .select(key.alias("__d"))
+        .approxQuantile("__d", probs, 0.001)
+    )
+    bounds = sorted(set(vals))
+    if not bounds:
+        # no usable left timeline — degenerate to the plain window path
+        return lt.unionByName(rt), None
+    # bucket = #bounds <= signed time, as a plain when-sum chain: a
+    # higher-order F.filter(array, lambda) here trips a Catalyst bug —
+    # Union constraint rewriting crashes on lambdas that capture aliased
+    # attributes ("key not found: ts#N") once any join sits above the
+    # union and asks for its constraints
+    bidx = sum(
+        (F.when(key >= F.lit(float(b)), 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    )
+    lt2 = lt.withColumn("__b", bidx)
+    rt2 = rt.withColumn("__b", bidx)
+
+    # per (key, data-bucket) winner — the exact right row running-last
+    # would carry OUT of that bucket
+    ordk = F.struct(key.alias("k"), tie_expr.alias("t"))
+    winners = rt2.groupBy(*by_list, "__b").agg(
+        F.max_by("__r", ordk).alias("__r"))
+    # each winner seeds target buckets (its own + 1) through the NEXT
+    # data bucket (inclusive: that bucket's left rows that precede its
+    # first right row still need the carry), or through the last bucket
+    # when none follows — O(nb) seed rows per key in total
+    wb = Window.partitionBy(*by_list).orderBy(F.col("__b").asc())
+    start = F.col("__b") + F.lit(1)
+    stop = F.col("__stop")
+    seed_tbl = (
+        winners
+        # a window function may not sit inside a generator — stage it
+        .withColumn("__stop",
+                    F.coalesce(F.lead("__b").over(wb), F.lit(len(bounds))))
+        .withColumn(
+            "__tb",
+            F.explode(
+                # F.sequence counts DOWN when stop < start — guard it
+                F.when(start <= stop, F.sequence(start, stop))
+                .otherwise(F.array().cast("array<int>"))))
+        .select(*by_list, F.col("__tb").alias("__b"),
+                F.col("__r").alias("__seed"))
+    )
+    return lt2.unionByName(rt2), seed_tbl

@@ -136,3 +136,75 @@ def test_asof_join_unorderable_right_payload(spark):
     rows = asof_join(ldf, rdf, on="ts", by="k").collect()
     assert rows[0]["ts_right"] == 7
     assert dict(rows[0]["tags_right"]) == {"hw": "yes"}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("by", ["k", None])
+def test_asof_ranged_equals_window_path(frames, direction, by):
+    """range_buckets is a pure execution-strategy switch: full-payload
+    results (including duplicate-ts tiebreaks) must be IDENTICAL to the
+    window path, keyed and global, both directions."""
+    ldf, rdf, _, _ = frames
+    cols = lambda r: (r["k"], r["ts"], r["lval"], r["ts_right"],
+                      r["rval_right"])
+    want = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by=by, direction=direction).collect()))
+    got = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by=by, direction=direction,
+        range_buckets=8).collect()))
+    assert got == want
+
+
+def test_asof_ranged_sparse_right_buckets(spark):
+    """Right data clustered at the START of the timeline: most buckets
+    have no right rows, so matches for late left rows ride ONLY on the
+    carried seeds (and must cross several empty buckets)."""
+    ldf = spark.createDataFrame(
+        [("g", t, t) for t in range(0, 1000, 7)], "k string, ts long, lval long")
+    rdf = spark.createDataFrame(
+        [("g", t, 100 + t) for t in range(0, 60, 11)],
+        "k string, ts long, rval long")
+    cols = lambda r: (r["ts"], r["ts_right"], r["rval_right"])
+    want = sorted(map(cols, asof_join(ldf, rdf, on="ts", by="k").collect()))
+    got = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by="k", range_buckets=16).collect()))
+    assert got == want
+    # spot-check the carry itself: the last left row matches the global
+    # latest right row (ts=55) through ~15 right-empty buckets
+    assert got[-1] == (994, 55, 155)
+
+
+def test_asof_ranged_tolerance(frames):
+    ldf, rdf, _, _ = frames
+    cols = lambda r: (r["k"], r["ts"], r["lval"], r["ts_right"],
+                      r["rval_right"])
+    want = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by="k", tolerance=25).collect()))
+    got = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by="k", tolerance=25,
+        range_buckets=6).collect()))
+    assert got == want
+
+
+def test_asof_ranged_plan_partitions_by_bucket(frames):
+    """The whole point: the merge window partitions on (by, __b), so one
+    key's history no longer serializes through one task."""
+    ldf, rdf, _, _ = frames
+    out = asof_join(ldf, rdf, on="ts", by="k", range_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "__b" in plan, plan
+    # window partition spec carries the bucket column
+    import re
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert any("__b" in s for s in wspecs), plan
+
+
+def test_asof_suffix_collision_raises(frames):
+    ldf, rdf, _, _ = frames
+    bad_left = ldf.withColumnRenamed("lval", "rval_right")
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(bad_left, rdf, on="ts", by="k")
+    with pytest.raises(ValueError, match="range_buckets"):
+        asof_join(ldf, rdf, on="ts", by="k", range_buckets=1)

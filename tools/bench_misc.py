@@ -1,11 +1,13 @@
-"""Scale evidence for the round-4 operator family that is not part of the
+"""Scale evidence for the operator family that is not part of the
 headline bench.py suite (kept separate so the driver's BENCH artifact
-stays protocol-comparable across rounds): as-of join, way geometry,
-repetition filters, PII redaction, int8 quantization, rollup pyramid —
-each timed warmed, best-of-2, on sf0.1-scale inputs, with per-run host
-steal% recorded like the main protocol.
+stays protocol-comparable across rounds): as-of join (keyed, and
+single-global-key window-vs-ranged), way geometry, repetition filters,
+PII redaction, int8 quantization, overlay joins at 10k and 100k dims,
+rollup pyramid — each timed warmed, best-of-2 (best-of-1 for the
+100k overlay), on sf0.1-scale inputs, with per-run host steal%
+recorded like the main protocol.
 
-Writes BENCH_MISC_r04.json and prints it.
+Writes BENCH_MISC_r05.json and prints it.
 """
 
 from __future__ import annotations
@@ -81,8 +83,25 @@ def main() -> None:
     ev_r = ways.select(F.col("user").alias("k"),
                        F.xxhash64("id").alias("ts"),
                        F.col("id").alias("rval"))
-    asof_df = asof_join(ev_l, ev_r, on="ts", by="k")
-    bench("asof_join_nodes_x_ways", lambda: asof_df.count())
+    # aggregate over a MATCHED column: .count() lets column pruning drop
+    # the window merge entirely (measured round 5 — the r04 entry timed
+    # only the union+filter), while sum(rval_right) forces it
+    asof_df = asof_join(ev_l, ev_r, on="ts", by="k").agg(
+        F.sum("rval_right"))
+    bench("asof_join_nodes_x_ways", lambda: asof_df.collect())
+
+    # as-of with ONE global key: the window path serializes every row
+    # through a single task; range_buckets spreads the same merge over
+    # the timeline buckets (results identical — pytest-pinned)
+    gl = spark.range(2_400_000).select(
+        F.xxhash64("id").alias("ts"), F.col("id").alias("lval"))
+    gr = spark.range(300_000).select(
+        F.xxhash64(F.col("id") + 7).alias("ts"), F.col("id").alias("rval"))
+    asof_1k_win = asof_join(gl, gr, on="ts").agg(F.sum("rval_right"))
+    bench("asof_single_key_2p4m_window", lambda: asof_1k_win.collect())
+    asof_1k_rng = asof_join(gl, gr, on="ts", range_buckets=32).agg(
+        F.sum("rval_right"))
+    bench("asof_single_key_2p4m_ranged", lambda: asof_1k_rng.collect())
 
     geo_df = way_geometry(ways, nodes)
     bench("way_geometry", lambda: geo_df.count())
@@ -128,6 +147,33 @@ def main() -> None:
     ovl_df = polygon_intersect_join(ga, gb, res=9)
     bench("overlay_10k_x_10k_polys", lambda: ovl_df.count())
 
+    # the scale the round-4 per-pair verifier could NOT finish
+    def _grid_big(shift_la, shift_lo, tag):
+        side = 316
+        g = spark.range(100_000).select(
+            F.concat(F.lit(tag), F.col("id")).alias("poly_id"),
+            F.lit("zip").alias("level"),
+            (F.lit(1.13) + (F.col("id") % side) * F.lit(0.0034)
+             + F.lit(shift_la)).alias("la0"),
+            (F.lit(103.6) + F.floor(F.col("id") / side) * F.lit(0.005)
+             + F.lit(shift_lo)).alias("lo0"),
+        )
+        pt = lambda a, o: F.struct(a.alias("lat"), o.alias("lon"))
+        la0, lo0 = F.col("la0"), F.col("lo0")
+        la1, lo1 = la0 + F.lit(0.004), lo0 + F.lit(0.006)
+        return g.select(
+            "poly_id", "level",
+            F.array(pt(la0, lo0), pt(la0, lo1), pt(la1, lo1),
+                    pt(la1, lo0), pt(la0, lo0)).alias("ring"),
+            F.lit(None).cast("string").alias("postcode"),
+        )
+
+    gab = _grid_big(0.0, 0.0, "a").persist()
+    gbb = _grid_big(0.0017, 0.0025, "b").persist()
+    gab.count(), gbb.count()
+    ovl_big = polygon_intersect_join(gab, gbb, res=9)
+    bench("overlay_100k_x_100k_polys", lambda: ovl_big.count(), best_of=1)
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count
@@ -137,7 +183,7 @@ def main() -> None:
               pts_only, fine_res=9, coarse_res=6).count())
 
     out = {
-        "metric": "round4_misc_ops_sec",
+        "metric": "round5_misc_ops_sec",
         "queries": results,
         "steal_pct": steals,
         "n_nodes": int(n_nodes),
@@ -146,7 +192,7 @@ def main() -> None:
         "cpus": 32,
         "protocol": "warmed best-of-2, per-run steal% recorded",
     }
-    with open("/root/repo/BENCH_MISC_r04.json", "w") as f:
+    with open("/root/repo/BENCH_MISC_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     spark.stop()
