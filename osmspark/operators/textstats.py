@@ -12,9 +12,15 @@ EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
                 "that", "for", "on", "with", "as", "at", "by", "this"]
 
 
+def _text(text_col: str):
+    """NULL text reads as empty — without this every size(split(...))
+    below null-propagates to -1 'counts' (F.size of null is -1)."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 def token_count_col(text_col: str = "text"):
     """Whitespace token count (native)."""
-    t = F.trim(F.col(text_col))
+    t = F.trim(_text(text_col))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
@@ -23,7 +29,7 @@ def bpe_ish_token_count_col(text_col: str = "text"):
     runs, single punctuation) — a deterministic proxy for tokenizer cost."""
     return F.size(
         F.filter(
-            F.split(F.col(text_col), r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            F.split(_text(text_col), r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
             lambda s: F.trim(s) != "",
         )
     )
@@ -31,7 +37,7 @@ def bpe_ish_token_count_col(text_col: str = "text"):
 
 def stopword_count_col(text_col: str = "text", stopwords=None):
     sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(_text(text_col))), r"\s+")
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
@@ -171,7 +177,7 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+    toks = F.filter(F.split(F.lower(F.trim(_text(text_col))), r"\s+"),
                     lambda t: t != "")
     s1 = docs.select(F.col(id_col), toks.alias("__toks"))
     s1 = s1.select("*", F.size("__toks").alias("__n")).filter(F.col("__n") > 0)
@@ -269,7 +275,7 @@ def repetition_stats(docs: DataFrame, n: int = 2,
     docs this pipelines inside the scan stage like chunk_documents."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+    toks = F.filter(F.split(F.lower(F.trim(_text(text_col))), r"\s+"),
                     lambda t: t != "")
     s1 = docs.select(F.col(id_col), toks.alias("__toks"))
     s1 = s1.select(id_col, "__toks", F.size("__toks").alias("__n"))

@@ -138,13 +138,19 @@ def streaming_radius_alerts(
     (equivalence-tested)."""
     from ..operators.radius_join import query_disk_cells, within_distance_join
 
-    # rename via drop-then-alias: a plain select("*", alias) would leave
-    # any pre-existing lat/lon columns in place and make the downstream
-    # F.col("lat") ambiguous
-    pts = points if (lat, lon) == ("lat", "lon") else (
-        points.drop("lat", "lon")
-        .select("*", F.col(lat).alias("lat"), F.col(lon).alias("lon"))
-    )
+    # rename PER AXIS: the old both-or-nothing drop broke the mixed case
+    # (lat='lat', lon='lng' dropped the real lat column), and silently
+    # discarding a pre-existing default-named column would hand the join
+    # wrong coordinates — raise instead and let the caller disambiguate
+    pts = points
+    for axis, name in (("lat", lat), ("lon", lon)):
+        if name == axis:
+            continue
+        if axis in pts.columns:
+            raise ValueError(
+                f"points has a {axis!r} column but {axis} data was mapped "
+                f"from {name!r} — drop or rename the conflicting column")
+        pts = pts.withColumnRenamed(name, axis)
     q, used_res = query_disk_cells(queries, radius, metric=metric, res=res)
     q = q.localCheckpoint(eager=True)
     return within_distance_join(

@@ -282,3 +282,32 @@ def test_streaming_radius_equals_batch(spark, tmp_path):
                  F.window("ts", "1 hour").alias("w"), "query_id")
              .agg(F.count("*").alias("cnt")).collect()}
     assert got_c == exp_c and len(exp_c) > 10
+
+
+def test_streaming_radius_alerts_axis_rename(spark):
+    """Mixed coordinate names (only one axis differs) must map cleanly,
+    and a pre-existing default-named column alongside a custom mapping
+    raises instead of silently feeding stale coordinates (round-5
+    ADVICE: the old both-or-nothing drop deleted the real lat column)."""
+    from osmspark.operators.radius_join import within_distance_join
+    from osmspark.streaming import spatial as sp
+
+    pts = spark.createDataFrame(
+        [("p0", 1.2901, 103.8501), ("p1", 1.2905, 103.8507),
+         ("p2", 1.4500, 104.0000)],
+        "id string, lat double, lng double")
+    sites = spark.createDataFrame(
+        [("s0", 1.29, 103.85)], "query_id string, lat double, lon double")
+    # conflict: lon mapped from 'lng' while the frame ALSO has... nothing
+    # — but lat defaults while a custom lat source exists is fine; the
+    # raise case is a leftover default-named column on the mapped axis
+    bad = pts.withColumn("lon", F.lit(0.0))
+    with pytest.raises(ValueError, match="conflicting"):
+        sp.streaming_radius_alerts(bad, sites, 5000.0, lon="lng")
+    got = {(r["query_id"], r["point_id"])
+           for r in sp.streaming_radius_alerts(
+               pts, sites, 5000.0, lon="lng").collect()}
+    exp = {(r["query_id"], r["point_id"])
+           for r in within_distance_join(
+               pts.withColumnRenamed("lng", "lon"), sites, 5000.0).collect()}
+    assert got == exp and ("s0", "p0") in got and ("s0", "p2") not in got

@@ -743,3 +743,26 @@ def test_quantize_rejects_existing_output_cols(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already exists"):
         similarity.quantize_embeddings(q)   # qvec/qscale already there
+
+
+def test_textstats_null_text_reads_as_empty(spark):
+    """NULL text must report the same zeros as empty text everywhere —
+    F.size of a null array is -1, so without the coalesce every count
+    came back -1 with null-propagated gram stats (round-5 ADVICE)."""
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "x y x y")],
+        "doc_id string, text string")
+    ts = {r["doc_id"]: r.asDict() for r in textstats.text_stats(df).collect()}
+    assert ts["a"] == {**ts["b"], "doc_id": "a"}
+    assert ts["a"]["n_tokens"] == 0 and ts["a"]["n_subtokens"] == 0
+    assert ts["a"]["n_stopwords"] == 0 and ts["a"]["quality"] == 0
+    assert ts["a"]["lang_id"] == "empty"
+    rep = {r["doc_id"]: r.asDict()
+           for r in textstats.repetition_stats(df).collect()}
+    assert rep["a"] == {**rep["b"], "doc_id": "a"}
+    assert rep["a"]["n_tokens"] == 0 and rep["a"]["n_distinct_tokens"] == 0
+    assert rep["a"]["top_ngram"] is None and rep["a"]["dup_ngram_n"] == 0
+    assert rep["c"]["dup_ngram_n"] == 2          # 'x y' twice
+    # chunking drops null docs exactly like empty docs
+    chunks = textstats.chunk_documents(df, max_tokens=2, overlap=0)
+    assert {r["doc_id"] for r in chunks.collect()} == {"c"}
