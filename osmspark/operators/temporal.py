@@ -187,7 +187,16 @@ def _range_bucketed(
     broadcast, not unioned, so a bucket's left rows that precede its
     first right row still match."""
     sign = 1.0 if direction == "backward" else -1.0
-    key = F.col("__t").cast("double") * F.lit(sign)
+    # temporal types refuse a direct double cast (TIMESTAMP_NTZ especially)
+    # — route them through their integer epoch form; only MONOTONICITY in
+    # __t matters for bucketing, not the unit
+    t_dt = lt.schema["__t"].dataType.typeName()
+    t = F.col("__t")
+    if t_dt.startswith("timestamp"):
+        t = F.unix_micros(t.cast("timestamp"))
+    elif t_dt == "date":
+        t = F.unix_date(t)
+    key = t.cast("double") * F.lit(sign)
     # quantile boundaries of the left timeline: the ONLY driver-side
     # materialization, <= nb-1 doubles
     probs = [i / nb for i in range(1, nb)]

@@ -4,6 +4,7 @@ data, both directions, plus tolerance and edge cases."""
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from osmspark.operators.temporal import asof_join
 
@@ -208,3 +209,22 @@ def test_asof_suffix_collision_raises(frames):
         asof_join(bad_left, rdf, on="ts", by="k")
     with pytest.raises(ValueError, match="range_buckets"):
         asof_join(ldf, rdf, on="ts", by="k", range_buckets=1)
+
+
+def test_asof_ranged_timestamp_on(spark):
+    """Temporal `on` columns must work with range_buckets: Spark 4 refuses
+    TIMESTAMP(_NTZ) -> double casts, so the bucket key routes through
+    unix_micros (round-5 driver-row regression)."""
+    ldf = spark.createDataFrame(
+        [("g", f"2016-01-{d:02d} 12:00:00", d) for d in range(1, 25)],
+        "k string, ts_s string, lval long",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "lval")
+    rdf = spark.createDataFrame(
+        [("g", f"2016-01-{d:02d} 00:00:00", 100 + d) for d in range(1, 25, 5)],
+        "k string, ts_s string, rval long",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rval")
+    cols = lambda r: (r["lval"], r["rval_right"])
+    want = sorted(map(cols, asof_join(ldf, rdf, on="ts", by="k").collect()))
+    got = sorted(map(cols, asof_join(
+        ldf, rdf, on="ts", by="k", range_buckets=6).collect()))
+    assert got == want and want[-1] == (24, 121)
