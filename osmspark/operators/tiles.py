@@ -221,7 +221,8 @@ def vectorize_raster(tiles: DataFrame, threshold: int,
 
 def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
                         lat: str = "lat", lon: str = "lon",
-                        materialize: bool = True) -> DataFrame:
+                        materialize=True, store=None,
+                        stage_prefix: str = "pyramid") -> DataFrame:
     """Hierarchical per-cell density pyramid (the hypertable-rollup shape
     for hex cells): counts at EVERY resolution in [coarse_res, fine_res],
     where each coarser level is aggregated FROM the level below via the
@@ -248,30 +249,54 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
     3x at sf0.1: ReuseExchange/AQE does not dedupe the shared subtree
     across union branches here), which is exactly the per-zoom rescan
     this operator exists to avoid.  The checkpointed frames are
-    cell-count-sized (thousands of rows), not point-sized."""
+    cell-count-sized (thousands of rows), not point-sized.
+
+    materialize='snapshot' materializes each level through a
+    `plans.checkpoint.SnapshotStore` (`store=`, stage names
+    `{stage_prefix}_r{res}`) instead of ephemeral localCheckpoints: the
+    build becomes RESUMABLE (a killed job restarts from the last
+    committed level — committed stages load, they never recompute, and
+    the base level never rescans the points) and each level's row count
+    / lineage lands in the stage manifest like every other B8 stage."""
     from ..functions.hexgrid import parent_udf, with_hex_cell
 
     if not 0 <= coarse_res <= fine_res:
         raise ValueError("need 0 <= coarse_res <= fine_res")
-    base = (
-        with_hex_cell(points, fine_res, lat=lat, lon=lon, out_col="cell")
-        .groupBy("cell")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.lit(fine_res).alias("res"), "cell", "cnt")
+    snapshot = materialize == "snapshot"
+    if snapshot and store is None:
+        raise ValueError("materialize='snapshot' requires a SnapshotStore "
+                         "via store=")
+
+    def _stage(df_fn, res, inputs):
+        if snapshot:
+            return store.run_stage(
+                points.sparkSession, f"{stage_prefix}_r{res}", df_fn,
+                inputs=inputs)
+        df = df_fn()
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    base = _stage(
+        lambda: (
+            with_hex_cell(points, fine_res, lat=lat, lon=lon, out_col="cell")
+            .groupBy("cell")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(fine_res).alias("res"), "cell", "cnt")
+        ),
+        fine_res, inputs=["points"],
     )
-    if materialize:
-        base = base.localCheckpoint(eager=True)
     levels = [base]
     cur = base
     for r in range(fine_res - 1, coarse_res - 1, -1):
-        cur = (
-            cur.select(parent_udf(r)(F.col("cell")).alias("cell"), "cnt")
-            .groupBy("cell")
-            .agg(F.sum("cnt").alias("cnt"))
-            .select(F.lit(r).alias("res"), "cell", "cnt")
+        prev = cur
+        cur = _stage(
+            lambda prev=prev, r=r: (
+                prev.select(parent_udf(r)(F.col("cell")).alias("cell"), "cnt")
+                .groupBy("cell")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select(F.lit(r).alias("res"), "cell", "cnt")
+            ),
+            r, inputs=[f"{stage_prefix}_r{r + 1}"],
         )
-        if materialize:
-            cur = cur.localCheckpoint(eager=True)
         levels.append(cur)
     out = levels[0]
     for df in levels[1:]:

@@ -311,3 +311,53 @@ def test_streaming_radius_alerts_axis_rename(spark):
            for r in within_distance_join(
                pts.withColumnRenamed("lng", "lon"), sites, 5000.0).collect()}
     assert got == exp and ("s0", "p0") in got and ("s0", "p2") not in got
+
+
+def test_pyramid_snapshot_stages_resume(spark, tmp_path):
+    """materialize='snapshot' puts every pyramid level through the B8
+    SnapshotStore: results match the localCheckpoint build, manifests
+    carry per-level row counts + lineage, and a killed build resumes —
+    committed levels LOAD (the base never rescans the points)."""
+    import os
+
+    from osmspark.operators.tiles import cell_rollup_pyramid
+    from osmspark.plans.checkpoint import SnapshotStore
+
+    pts = spark.range(3000).select(
+        (F.lit(1.2) + (F.col("id") % 100) * F.lit(1e-3)).alias("lat"),
+        (F.lit(103.7) + (F.col("id") % 77) * F.lit(1e-3)).alias("lon"))
+    want = sorted((r["res"], r["cell"], r["cnt"])
+                  for r in cell_rollup_pyramid(pts, 8, 6).collect())
+
+    store = SnapshotStore(str(tmp_path / "pyr"))
+    got = sorted((r["res"], r["cell"], r["cnt"])
+                 for r in cell_rollup_pyramid(
+                     pts, 8, 6, materialize="snapshot",
+                     store=store).collect())
+    assert got == want
+
+    n_by_level = {r: sum(1 for x in want if x[0] == r) for r in (6, 7, 8)}
+    for r in (6, 7, 8):
+        m = store.manifest(f"pyramid_r{r}")
+        assert m and m["committed"] and m["n_rows"] == n_by_level[r]
+        assert sum(p["rows"] for p in m["partitions"]) == n_by_level[r]
+    assert store.manifest("pyramid_r7")["inputs"] == ["pyramid_r8"]
+
+    # kill-and-resume: wipe the two coarser levels, poison the points —
+    # the committed base loads instead of rescanning, the rest rebuilds
+    for r in (6, 7):
+        os.remove(store._manifest_path(f"pyramid_r{r}"))
+
+    def boom(_it):
+        raise RuntimeError("points rescanned")
+        yield  # pragma: no cover
+
+    poisoned = pts.mapInPandas(boom, pts.schema)
+    got2 = sorted((r["res"], r["cell"], r["cnt"])
+                  for r in cell_rollup_pyramid(
+                      poisoned, 8, 6, materialize="snapshot",
+                      store=store).collect())
+    assert got2 == want
+
+    with pytest.raises(ValueError, match="SnapshotStore"):
+        cell_rollup_pyramid(pts, 8, 6, materialize="snapshot")
