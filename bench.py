@@ -275,6 +275,27 @@ def main() -> None:
     _, t_ivf, s_ivf = best_of(q_ivf_100k)
     extras["ivf_gemm_100kq"] = t_ivf
     extra_steals["ivf_gemm_100kq"] = s_ivf
+
+    # same scan over the int8-quantized corpus (round-4 VERDICT item 7).
+    # The quantized table is persisted BEFORE timing — at 10^12 docs the
+    # corpus is stored quantized, so quantization cost is write-path, not
+    # per-scan; what's timed is what repeats: the cid shuffle (1-byte
+    # lanes, 4-8x fewer bytes than float) + the cogroup GEMM
+    from osmspark.operators.similarity import (ivf_topk_gemm_int8,
+                                               quantize_embeddings)
+
+    vecs8 = quantize_embeddings(vecs).select("vec_id", "qvec").persist()
+    vecs8.count()
+
+    def q_ivf_int8_100k():
+        return ivf_topk_gemm_int8(vecs8, ivf_qs, k=10, centroids=cents,
+                                  nprobe=2).count()
+
+    q_ivf_int8_100k()  # warm
+    _, t_ivf8, s_ivf8 = best_of(q_ivf_int8_100k)
+    extras["ivf_gemm_int8_100kq"] = t_ivf8
+    extra_steals["ivf_gemm_int8_100kq"] = s_ivf8
+    vecs8.unpersist()
     vecs.unpersist()
 
     # adaptive PIP join over a MIXED-SIZE dim (the round-4 continent path):

@@ -261,8 +261,11 @@ def ivf_topk_gemm(
             return pd.DataFrame(
                 {"query_id": [], "vec_id": [], "sim": []}
             ).astype({"query_id": "int64", "vec_id": "int64", "sim": "float64"})
-        Q = np.stack(qdf["qv"].to_numpy())
-        V = np.stack(vdf["vv"].to_numpy())
+        # explicit float64 upcast: the corpus side may arrive int8 (the
+        # quantized path, `ivf_topk_gemm_int8`) and int8 @ int8 would
+        # overflow; for float input astype(copy=False) is a no-op view
+        Q = np.stack(qdf["qv"].to_numpy()).astype(np.float64, copy=False)
+        V = np.stack(vdf["vv"].to_numpy()).astype(np.float64, copy=False)
         Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         sims = Q @ V.T  # (nq, nv)
@@ -448,4 +451,53 @@ def dequantize_embeddings(df: DataFrame, qvec_col: str = "qvec",
             F.col(qvec_col),
             lambda x: (x.cast("double") * F.col(scale_col)),
         ).alias(out_col),
+    )
+
+
+def ivf_topk_gemm_int8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    int8_col: str = "qvec",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """IVF block-GEMM scan directly over an int8-quantized corpus — the
+    composition of `quantize_embeddings` with `ivf_topk_gemm` (round-4
+    VERDICT item 7).
+
+    Why no dequantize stage: `quantize_embeddings` is SYMMETRIC per-vector
+    (qvec = round(v / s), one scalar s per row), so the int8 array points in
+    the same direction as the float vector up to the rounding error.  Every
+    consumer in this scan is cosine-based and normalizes per vector — the
+    centroid assignment (`_assign_udf`), the probe ranking, and the GEMM
+    kernel — so the scale cancels EXACTLY and the qscale column never needs
+    to be read, shuffled, or multiplied back.  The only approximation left
+    is rounding: per-element error <= s/2, i.e. a relative direction
+    perturbation O(1/254) of the vector's max component.
+
+    What this buys at corpus scale: the cid shuffle and the Arrow transfer
+    into the cogroup kernel ship array<tinyint> instead of array<double> —
+    4-8x fewer bytes on the CORPUS side, which dominates the movement (the
+    query side is nprobe small).  At 10^12 docs x 200 dims that is the
+    difference between shuffling 200 TB and 50 TB per scan epoch.  Recall
+    vs the float path is measured, not asserted (pytest pins the bound;
+    BENCH_IVF_AB.json carries the ivf_gemm_int8 timing).
+
+    `centroids` stay float (they are driver-side and tiny).  Queries stay
+    float too — quantizing the handful of probe rows saves nothing.
+    Raises unless `int8_col` is actually array<tinyint>, because a silent
+    float fallback would invalidate the measured-bytes claim."""
+    dt = dict(vectors.dtypes).get(int8_col)
+    if dt != "array<tinyint>":
+        raise ValueError(
+            f"ivf_topk_gemm_int8: column {int8_col!r} is {dt!r}, expected "
+            "array<tinyint> — run quantize_embeddings first (or call "
+            "ivf_topk_gemm for a float corpus)")
+    return ivf_topk_gemm(
+        vectors, queries, k, centroids, nprobe=nprobe,
+        id_col=id_col, vec_col=int8_col, qid_col=qid_col, qvec_col=qvec_col,
     )

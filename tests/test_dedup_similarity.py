@@ -766,3 +766,63 @@ def test_textstats_null_text_reads_as_empty(spark):
     # chunking drops null docs exactly like empty docs
     chunks = textstats.chunk_documents(df, max_tokens=2, overlap=0)
     assert {r["doc_id"] for r in chunks.collect()} == {"c"}
+
+
+def test_ivf_gemm_int8_recall_and_error(embeddings):
+    """Round-4 VERDICT item 7: the IVF block-GEMM scan composed directly
+    over the int8-quantized corpus.  Bounds are MEASURED on this fixture
+    (sf0.001 embeddings, 64-dim, 8 centroids, iters=1): recall vs the
+    float GEMM path 0.98 (nprobe=8) / 1.0 (nprobe=3), max |sim error| vs
+    exact cosine 0.0015 — pinned with slack (>=0.9 recall, <=0.005 error)
+    so a legitimate numeric drift doesn't flake while a broken dequantize
+    assumption (scale not cancelling) fails loudly: dropping the per-row
+    normalization in the kernel pushes the error above 0.1."""
+    import pytest as _pytest
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_centroids(embeddings, n_centroids=8, iters=1)
+    q8 = similarity.quantize_embeddings(embeddings)
+    vecs = {r["vec_id"]: np.array(r["embedding"], float)
+            for r in embeddings.collect()}
+    for nprobe in (8, 3):
+        flt = {(r["query_id"], r["vec_id"])
+               for r in similarity.ivf_topk_gemm(
+                   embeddings, queries, k=5, centroids=cents,
+                   nprobe=nprobe).collect()}
+        rows = similarity.ivf_topk_gemm_int8(
+            q8, queries, k=5, centroids=cents, nprobe=nprobe).collect()
+        i8 = {(r["query_id"], r["vec_id"]) for r in rows}
+        assert len(flt & i8) / len(flt) >= 0.9, (nprobe, flt ^ i8)
+        assert len(rows) == 50                      # k per query, both paths
+        for r in rows:
+            a, b = vecs[r["query_id"]], vecs[r["vec_id"]]
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(exact - r["sim"]) <= 0.005, (r, exact)
+    # contract: a float corpus column is rejected, not silently accepted —
+    # the 4x shuffle-bytes claim only holds if the column really is tinyint
+    with _pytest.raises(ValueError, match="array<tinyint>"):
+        similarity.ivf_topk_gemm_int8(embeddings, queries, k=5,
+                                      centroids=cents, int8_col="embedding")
+
+
+def test_ivf_gemm_int8_ships_tinyint(embeddings):
+    """The analyzed plan of the int8 scan must carry the corpus side into
+    the cogroup as array<tinyint> — the whole point is shuffling 1-byte
+    lanes; a silent upcast-to-double before the exchange would ship the
+    same bytes as the float path."""
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_centroids(embeddings, n_centroids=4, iters=0)
+    out = similarity.ivf_topk_gemm_int8(
+        similarity.quantize_embeddings(embeddings), queries, k=3,
+        centroids=cents, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the corpus vectors enter the cid exchange as the qvec column itself
+    # (plan shows `qvec#N AS vv#M` — a bare attribute passthrough, no cast
+    # node between the tinyint transform and the shuffle), and the only
+    # array cast in the corpus branch is quantize's own `as tinyint`
+    import re as _re
+    assert _re.search(r"qvec#\d+ AS vv#\d+", plan), plan
+    assert "as tinyint" in plan, plan
+    assert "cast(vv" not in plan and "cast(qvec" not in plan, plan
