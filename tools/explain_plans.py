@@ -162,6 +162,24 @@ def main() -> None:
          ("no driver-built rows", lambda p: "LocalTableScan" not in p)],
     )
 
+    from osmspark.operators.similarity import (
+        ivf_topk_gemm_int8, quantize_embeddings,
+    )
+
+    vecs8 = quantize_embeddings(vecs).select("vec_id", "qvec")
+    add(
+        "IVF ANN, int8-composed block-GEMM (round 5 — quantized corpus "
+        "scan)",
+        ivf_topk_gemm_int8(vecs8, ivf_qs, k=5, centroids=cents, nprobe=2),
+        [("cogrouped per centroid bucket",
+          lambda p: "FlatMapCoGroupsInPandas" in p),
+         ("corpus enters the cid exchange as the tinyint column itself "
+          "(bare qvec->vv passthrough, no cast before the shuffle)",
+          lambda p: __import__("re").search(r"qvec#\d+ AS vv#\d+", p)
+          is not None and "cast(vv" not in p and "cast(qvec" not in p),
+         ("qscale never read or shuffled", lambda p: "qscale" not in p)],
+    )
+
     from osmspark.operators.spatial_join import spatial_join_adaptive
 
     wide = spark.createDataFrame(
@@ -243,6 +261,20 @@ def main() -> None:
           lambda p: "Window" in p),
          ("ZERO Python", lambda p: "EvalPython" not in p),
          ("no cartesian/NLJ", lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)],
+    )
+
+    add(
+        "As-of temporal join, range-partitioned merge (round 5 — "
+        "low-cardinality/global keys)",
+        asof_join(ev_l, ev_r, on="ts", by="k", range_buckets=8),
+        [("merge windows partition on (by, bucket) — a global key "
+          "spreads over B tasks",
+          lambda p: __import__("re").search(
+              r"hashpartitioning\([^)]*__b#", p) is not None),
+         ("ZERO Python", lambda p: "EvalPython" not in p),
+         ("no cartesian/NLJ (seed carry is lead()+bounded explode)",
+          lambda p: "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)],
     )
 
