@@ -416,9 +416,17 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 
     All native: array_max/transform/round in codegen, the scale bound as
     a STAGED column so the per-element divide reads a bound value
-    instead of re-evaluating the max per lane.  Zero vectors quantize to
-    zeros with scale 1 (no divide-by-zero NaNs).  `dequantize_embeddings`
-    is the exact inverse map (up to the quantization error)."""
+    instead of re-evaluating the max per lane.  Caveat (observed in the
+    int8-GEMM plan audit): if the CONSUMER prunes the scale column away,
+    CollapseProject re-inlines the scale expression into the lambda and
+    the per-lane cost becomes O(d) (O(d^2) per vector) — still trivially
+    map-side at embedding dims (500k x 64 quantizes in 0.04 s,
+    BENCH_MISC_r05.json), and the intended at-scale usage writes the
+    quantized table once (storage path) rather than re-quantizing per
+    scan, so the collapse never sits on a hot path.  Zero vectors
+    quantize to zeros with scale 1 (no divide-by-zero NaNs).
+    `dequantize_embeddings` is the exact inverse map (up to the
+    quantization error)."""
     for c in (out_col, scale_col):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
