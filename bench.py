@@ -264,7 +264,10 @@ def main() -> None:
     vecs = gen_vectors(spark, 200_000, 64).persist()
     vecs.count()
     cents = train_centroids(vecs, n_centroids=256, iters=1)
-    ivf_qs = vecs.limit(100_000).select(
+    # filter, NOT limit(): GlobalLimit funnels all 100k queries through a
+    # single partition, serializing the probe-UDF stage at any core count
+    # (found via the 2-vs-8-core scaling protocol, round 5)
+    ivf_qs = vecs.filter(F.col("vec_id") < 100_000).select(
         F.col("vec_id").alias("query_id"), "embedding")
 
     def q_ivf_100k():

@@ -67,6 +67,43 @@ print(json.dumps({{"cores": cores, "sec": round(dt, 3),
 spark.stop()
 """
 
+# Shuffle-bound variant (round-4 VERDICT item 8): the extract+PIP+tiles job
+# above is broadcast-heavy (the polygon dim broadcasts; the only exchanges
+# are the final counts), so its scaling evidence says little about the
+# engine's EXCHANGE behavior.  The IVF block-GEMM ANN scan is the opposite
+# shape: corpus AND probes each hash-exchange on cid, cogroup GEMM, then a
+# query_id exchange for the global top-k — three shuffles on 100k queries x
+# 200k vectors, nothing broadcastable.  Centroid training, quantization and
+# the probe warm-up run OUTSIDE the clock; the timed section is exactly the
+# repeated-scan path that dominates at corpus scale.
+IVF_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmspark.session import build_session
+from osmspark.operators.similarity import ivf_topk_gemm, train_centroids
+
+cores = int(sys.argv[1]); vecs_path = sys.argv[2]; n_queries = int(sys.argv[3])
+spark = build_session(f"scale-ivf-{{cores}}", cores=cores)
+vecs = spark.read.parquet(vecs_path).persist()
+vecs.count()
+cents = train_centroids(vecs, n_centroids=256, iters=1)
+# filter, NOT limit(): GlobalLimit funnels every query through ONE
+# partition, serializing the probe-UDF stage at any core count
+qs = vecs.filter(F.col("vec_id") < n_queries).select(
+    F.col("vec_id").alias("query_id"), "embedding")
+# JIT/Arrow warm-up on a slice, unmeasured (same code paths)
+ivf_topk_gemm(vecs, qs.filter(F.col("query_id") < 5000), k=10,
+              centroids=cents, nprobe=2).count()
+t0 = time.time()
+n = ivf_topk_gemm(vecs, qs, k=10, centroids=cents, nprobe=2).count()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 3),
+                   "queries_per_sec": round(n_queries / dt, 1),
+                   "n_results": n}}))
+spark.stop()
+"""
+
 # Null workload: perfectly parallel, zero-shuffle, zero-Python pure-JVM
 # codegen loop.  Its N-vs-4N efficiency IS the machine's parallel ceiling.
 NULL_CHILD = r"""
@@ -115,24 +152,45 @@ def _run_pinned(script: str, cores: int, argv: list[str]) -> dict:
     return r
 
 
-def run_at(cores: int, docs_path: str, n_docs: int) -> dict:
-    return _run_pinned(CHILD.format(repo=REPO), cores,
-                       [docs_path, str(n_docs)])
-
-
 def run_null(cores: int) -> dict:
     return _run_pinned(NULL_CHILD.format(repo=REPO), cores, [str(NULL_ROWS)])
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    # reuse bench.py's cache
-    from bench import ensure_docs
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    job = "ivf" if "--job=ivf" in sys.argv[1:] else "pip"
     from osmspark.session import build_session
 
-    spark = build_session("scale-gen", cores=8)
-    docs_path = ensure_docs(spark, n_docs)
-    spark.stop()
+    if job == "pip":
+        n_units = int(args[0]) if args else 400_000
+        from bench import ensure_docs
+        spark = build_session("scale-gen", cores=8)
+        input_path = ensure_docs(spark, n_units)
+        spark.stop()
+        child, unit_key, size_key = CHILD, "docs_per_sec", "n_docs"
+        artifact = "BENCH_SCALING.json"
+        job_desc = ("extract + two-phase PIP join + tile counts "
+                    "(broadcast-heavy: the polygon dim broadcasts)")
+    else:
+        n_units = int(args[0]) if args else 100_000
+        from bench import CACHE_ROOT
+        from osmspark.datagen import gen_vectors
+        input_path = f"{CACHE_ROOT}/vecs_200000_64"
+        if not os.path.exists(f"{input_path}/_SUCCESS"):
+            spark = build_session("scale-gen", cores=8)
+            gen_vectors(spark, 200_000, 64).write.mode("overwrite") \
+                .parquet(input_path)
+            spark.stop()
+        child, unit_key, size_key = IVF_CHILD, "queries_per_sec", "n_queries"
+        artifact = "BENCH_SCALING_IVF.json"
+        job_desc = ("IVF block-GEMM ANN scan, 200k-vector corpus "
+                    "(shuffle-bound: cid exchanges on corpus AND probes, "
+                    "cogroup GEMM, query_id top-k exchange — nothing "
+                    "broadcastable)")
+
+    def run_at(cores: int) -> dict:
+        return _run_pinned(child.format(repo=REPO), cores,
+                           [input_path, str(n_units)])
 
     # N=2 vs 4N=8: measured /proc/stat steal shows the hypervisor delivers
     # only ~8 effective cores to this VM (30-90% steal when 32 threads run),
@@ -144,18 +202,19 @@ def main() -> None:
     # is the noise-robust estimator.
     trials_n, trials_4n, null_n, null_4n = [], [], [], []
     for _ in range(4):
-        trials_n.append(run_at(n_cores, docs_path, n_docs))
-        trials_4n.append(run_at(four_n, docs_path, n_docs))
+        trials_n.append(run_at(n_cores))
+        trials_4n.append(run_at(four_n))
         null_n.append(run_null(n_cores))
         null_4n.append(run_null(four_n))
     rn = min(trials_n, key=lambda r: r["sec"])
     r4n = min(trials_4n, key=lambda r: r["sec"])
     nn = min(null_n, key=lambda r: r["sec"])
     n4n = min(null_4n, key=lambda r: r["sec"])
-    eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4.0
+    eff = (r4n[unit_key] / rn[unit_key]) / 4.0
     eff_null = (nn["sec"] / n4n["sec"]) / 4.0
     result = {
-        "n_docs": n_docs,
+        "job": job_desc,
+        size_key: n_units,
         "N_cores": n_cores,
         "fourN_cores": four_n,
         "run_N": rn,
@@ -182,7 +241,7 @@ def main() -> None:
                 "artifact a real executor scale-out does not have",
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(result, f, indent=2)
 
 
