@@ -48,8 +48,10 @@ def main() -> None:
     vecs = gen_vectors(spark, n_vec, 64).persist()
     vecs.count()
     cents = train_centroids(vecs, n_centroids=n_cent, iters=1)
-    qs = vecs.limit(n_q).select(F.col("vec_id").alias("query_id"),
-                                "embedding")
+    # filter, NOT limit(): GlobalLimit would funnel the query set through
+    # one partition and serialize the probe-UDF stage (round-5 finding)
+    qs = vecs.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), "embedding")
     est_pairs = n_q * nprobe * (n_vec // n_cent)
 
     variants = {
