@@ -21,15 +21,21 @@ from pyspark.sql import types as T
 
 
 def _dot(a, b):
+    # The lane product runs at the LANE type, not the accumulator type:
+    # on an int8-quantized corpus (quantize_embeddings) tinyint*tinyint
+    # wraps silently with ANSI off and throws BINARY_ARITHMETIC_OVERFLOW
+    # with ANSI on.  Upcasting one operand makes every product double.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
 
 
 def cosine_sim_col(a, b):

@@ -745,6 +745,42 @@ def test_quantize_rejects_existing_output_cols(spark):
         similarity.quantize_embeddings(q)   # qvec/qscale already there
 
 
+def test_native_dot_survives_int8_lanes(spark):
+    """Regression: the zip_with/aggregate dot ran its lane products at the
+    LANE type, so feeding the native paths a quantized array<tinyint>
+    column (127*127 > tinyint max) threw BINARY_ARITHMETIC_OVERFLOW under
+    ANSI and silently wrapped with ANSI off.  The products must upcast to
+    double, making cosine on the int8 corpus agree with float cosine up
+    to the quantization error."""
+    from osmspark.datagen import gen_vectors
+
+    q = similarity.quantize_embeddings(gen_vectors(spark, 40, 16))
+    rows = q.select(
+        "vec_id",
+        similarity.cosine_sim_col(F.col("qvec"), F.col("qvec"))
+        .alias("self_sim"),
+        similarity.cosine_sim_col(F.col("qvec"), F.col("embedding"))
+        .alias("cross_sim"),
+    ).collect()
+    assert rows, "empty fixture"
+    for r in rows:
+        assert abs(r["self_sim"] - 1.0) < 1e-9, r
+        # int8 vs its own float source: within quantization error
+        assert r["cross_sim"] > 0.99, r
+    # brute-force top-1 over the int8 corpus finds each vector itself
+    vv = q.select("vec_id", F.col("qvec").alias("embedding"))
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("qvec").alias("embedding")).limit(5)
+    top = similarity.cosine_topk_bruteforce(vv, qq, k=1).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in top} == \
+        {(r["query_id"], r["query_id"]) for r in top}
+    # the upcast must not widen the plan beyond codegen (still no Python)
+    plan = q.select(
+        similarity.cosine_sim_col(F.col("qvec"), F.col("qvec"))
+        .alias("s"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+
+
 def test_textstats_null_text_reads_as_empty(spark):
     """NULL text must report the same zeros as empty text everywhere —
     F.size of a null array is -1, so without the coalesce every count
