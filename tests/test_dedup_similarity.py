@@ -841,6 +841,26 @@ def test_ivf_gemm_int8_recall_and_error(embeddings):
                                       centroids=cents, int8_col="embedding")
 
 
+def test_ivf_pair_join_runs_on_int8_corpus(embeddings):
+    """The NATIVE pair-join IVF path (ivf_topk) must also accept the
+    quantized corpus directly — before the lane-upcast fix in `_dot` this
+    threw BINARY_ARITHMETIC_OVERFLOW under ANSI (and silently wrapped
+    without it).  Full probe over int8 must track float brute force up to
+    quantization rank flips."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_centroids(embeddings, n_centroids=8, iters=1)
+    q8 = similarity.quantize_embeddings(embeddings).select(
+        "vec_id", F.col("qvec").alias("embedding"))
+    bf = {(r["query_id"], r["vec_id"]) for r in
+          similarity.cosine_topk_bruteforce(embeddings, queries, k=5)
+          .collect()}
+    i8 = {(r["query_id"], r["vec_id"]) for r in
+          similarity.ivf_topk(q8, queries, k=5, centroids=cents,
+                              nprobe=8).collect()}
+    assert len(i8 & bf) / len(bf) >= 0.9, bf ^ i8
+
+
 def test_ivf_gemm_int8_ships_tinyint(embeddings):
     """The analyzed plan of the int8 scan must carry the corpus side into
     the cogroup as array<tinyint> — the whole point is shuffling 1-byte
