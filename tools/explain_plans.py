@@ -180,6 +180,27 @@ def main() -> None:
          ("qscale never read or shuffled", lambda p: "qscale" not in p)],
     )
 
+    from osmspark.operators.pq import ivf_pq_index, ivf_pq_topk, train_pq
+    from osmspark.operators.similarity import _assign_udf
+
+    wc = vecs.withColumn("cid", _assign_udf(cents)(F.col("embedding")))
+    books = train_pq(wc, m=8, n_codes=16, iters=0,
+                     centroids=cents, cid_col="cid")
+    enc_pq = ivf_pq_index(vecs, cents, books)
+    add(
+        "IVF-PQ ADC scan (round 5 — 8-byte-code corpus)",
+        ivf_pq_topk(enc_pq, ivf_qs, k=5, centroids=cents,
+                    codebooks=books, nprobe=2),
+        [("cogrouped per centroid bucket",
+          lambda p: "FlatMapCoGroupsInPandas" in p),
+         ("probes + codes each shuffled ONCE on cid",
+          lambda p: "hashpartitioning(cid" in p),
+         ("the corpus side of the exchange carries the binary code "
+          "column, never a float vector",
+          lambda p: __import__("re").search(r"pq_code#\d+", p) is not None),
+         ("no driver-built rows", lambda p: "LocalTableScan" not in p)],
+    )
+
     from osmspark.operators.spatial_join import spatial_join_adaptive
 
     wide = spark.createDataFrame(
