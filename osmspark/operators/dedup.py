@@ -527,3 +527,164 @@ def ngram_jaccard_pairs(
             F.size(F.array_union("l.sh", "r.sh")).alias("union_sz"),
         )
     )
+
+
+# --- exact-substring dedup via duplicated n-gram spans ----------------------
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, start_tok, end_tok, n_dup_grams): maximal token spans
+    covered by word n-grams occurring >= min_count times CORPUS-WIDE
+    (within-doc repeats count toward the threshold).
+
+    The Spark-shaped equivalent of suffix-array ExactSubstr dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): a duplicated region of L >= n tokens yields L-n+1 duplicated
+    n-grams whose merged positions reconstruct the region EXACTLY at token
+    granularity, so for regions of length >= n this equals the suffix-array
+    answer with threshold n; regions shorter than n are invisible (same
+    role the length threshold plays in the paper).  Spans whose gap is <= 1
+    token merge (their union is one contiguous duplicated region).
+
+    Physical shape at 10^12 tokens: one explode to (doc, pos, gh) rows
+    where gh is xxhash64 of the n-token window (the '\\x1f' joiner cannot
+    appear inside whitespace tokens in practice; hash collisions share the
+    minhash/decontaminate xxhash64 convention) — the shuffle carries 8-byte
+    hashes + int positions, never text.  The gram-frequency aggregate is
+    map-side combinable; the join back to positions is an equi-join on gh
+    whose duplicate side holds ONE row per distinct duplicated gram (no
+    skew amplification: a gram repeated 10^6 times joins each of its 10^6
+    position rows exactly once).  The interval merge is a per-doc window —
+    state bounded by the longest DOC, not the table.  Everything is native
+    (zero Python)."""
+    if n < 1:
+        raise ValueError(f"duplicated_ngram_spans: n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError("duplicated_ngram_spans: min_count < 2 would mark "
+                         "every gram as duplicated")
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    m = F.size("__toks") - F.lit(n - 1)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                m > 0,
+                F.transform(
+                    F.sequence(F.lit(0), m - 1),
+                    lambda i: F.xxhash64(
+                        F.concat_ws("\x1f", F.slice("__toks", i + 1, n))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh").count()
+        .filter(F.col("count") >= min_count)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # fixed-length intervals [pos, pos+n-1] sorted by start have
+    # monotone ends, so the running max end IS the previous row's end;
+    # a new region starts when the gap to it exceeds one token
+    seg = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__seg",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        seg.groupBy("doc_id", "__seg")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Cut the given token spans out of each doc -> docs plus (out_col,
+    n_tokens_removed).
+
+    CONTRACT: span indices address the NORMALIZED token stream (lowercased,
+    whitespace-split — the same tokenizer that produced them in
+    `duplicated_ngram_spans`), and the output text is that token stream
+    re-joined with single spaces; original casing/whitespace inside kept
+    regions is NOT preserved.  Docs with no spans pass through (their text
+    is still normalized, so downstream sees ONE text convention).
+
+    All native: spans collect_list'd per doc (bounded by the doc's own span
+    count), tokens indexed with a two-arg transform, membership tested with
+    exists per token — O(tokens x spans) per doc, map-side after one
+    equi-join."""
+    if out_col in docs.columns:
+        raise ValueError(f"remove_spans: output column {out_col!r} exists")
+    sp = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    # null text reads as zero tokens (not a null-propagating -1 count —
+    # the repetition_stats null-doc fix, same class)
+    toks = F.filter(
+        F.coalesce(tokens_col(text_col), F.array().cast("array<string>")),
+        lambda t: t != "",
+    )
+    j = docs.join(sp, F.col(id_col) == F.col("__sid"), "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"),
+    )
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda b: (s["i"] >= b["start_tok"]) & (s["i"] <= b["end_tok"]),
+        ),
+    )
+    return (
+        j.withColumn(out_col, F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])))
+        .withColumn("n_tokens_removed", F.size(toks) - F.size(kept))
+        .drop("__sid", "__spans")
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    n: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed pipeline: find duplicated >=n-token regions, cut EVERY
+    occurrence (the paper's default policy — deduplicated corpora train
+    better even though no copy survives; callers wanting keep-one semantics
+    filter the span frame before `remove_spans`)."""
+    spans = duplicated_ngram_spans(docs, n=n, min_count=min_count,
+                                   text_col=text_col, id_col=id_col)
+    return remove_spans(docs, spans, text_col=text_col, id_col=id_col)
