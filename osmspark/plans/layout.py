@@ -42,16 +42,40 @@ def write_cell_bucketed(
     n_buckets: int = DEFAULT_BUCKETS,
     lat: str = "lat",
     lon: str = "lon",
+    row_group_bytes: int | None = None,
 ) -> None:
-    """Write nodes partitioned by cell_bucket (carries the cell column)."""
+    """Write nodes partitioned by cell_bucket (carries the cell column),
+    CLUSTERED by cell within each file: sortWithinPartitions("cell") makes
+    every parquet row group carry a tight [min, max] cell range, so an
+    exact `cell IN (...)` filter skips row groups via footer stats — the
+    second pruning level under the directory-level bucket pruning.  On an
+    unsorted write the same filter reads every row group in the touched
+    buckets (each group's stats span the whole bucket); the delta is
+    measured, not assumed — tools/layout_prune_bench.py writes this layout
+    and the unsorted/flat strawmen side by side and reports bytes read per
+    neighborhood query from the Spark stage metrics
+    (BENCH_LAYOUT_PRUNE.json).
+
+    row_group_bytes: parquet block size override.  Row-group skipping
+    only exists when a file HAS multiple row groups — a sub-128MB bucket
+    file is one group and footer stats can't subdivide it, so local-scale
+    demos (and fine-pruning deployments) set this smaller; at 100 TB the
+    default is fine because bucket files are hundreds of groups anyway."""
     df = with_hex_cell(nodes, res, lat=lat, lon=lon, out_col="cell")
     df = df.withColumn("cell_bucket", bucket_of("cell", n_buckets))
-    (
+    # sort key MUST lead with the partition column: FileFormatWriter
+    # requires its input ordered by the partitionBy columns and inserts
+    # its own (non-stable) sort otherwise, silently destroying the cell
+    # clustering (observed: a bare sortWithinPartitions("cell") produced
+    # unsorted files)
+    w = (
         df.repartition("cell_bucket")  # one writer set per bucket dir
+        .sortWithinPartitions("cell_bucket", "cell")  # tight group stats
         .write.mode("overwrite")
-        .partitionBy("cell_bucket")
-        .parquet(path)
     )
+    if row_group_bytes is not None:
+        w = w.option("parquet.block.size", int(row_group_bytes))
+    w.partitionBy("cell_bucket").parquet(path)
 
 
 def ensure_cell_bucketed(

@@ -45,3 +45,26 @@ def test_partition_pruning_in_plan(tmp_path, spark, nodes):
     # data filter
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "cell_bucket" in pf
+
+
+def test_clustered_write_sorts_cells_within_files(tmp_path, spark, nodes):
+    """The layout's second pruning level (row-group skipping on the exact
+    cell filter) exists iff rows are cell-sorted inside each bucket file —
+    pin the physical invariant directly in the written parquet."""
+    import glob
+
+    import pyarrow.parquet as pq_read
+
+    path = str(tmp_path / "bucketed3")
+    layout.write_cell_bucketed(nodes.select("id", "lat", "lon"), path,
+                               res=9, n_buckets=4)
+    files = glob.glob(f"{path}/cell_bucket=*/*.parquet")
+    assert files
+    multi = 0
+    for f in files:
+        t = pq_read.read_table(f, columns=["cell"])
+        cells = t.column("cell").to_numpy(zero_copy_only=False)
+        assert (np.diff(cells) >= 0).all(), f
+        if len(np.unique(cells)) > 1:
+            multi += 1
+    assert multi > 0   # the invariant was exercised on nontrivial files
