@@ -1,0 +1,150 @@
+"""Model-based quality filtering — the classifier stage of an LLM data
+pipeline (CCNet / fastText-style: Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", LREC 2020; Joulin et
+al.'s fastText linear classifiers).  The heuristic stats in
+`textstats.py` (length / punctuation / stopword ratios) are the first
+gate; this is the learned second gate that generalizes beyond hand
+thresholds.
+
+Spark shape: pyspark.ml all the way — RegexTokenizer -> HashingTF
+(feature hashing, no vocabulary state to build or broadcast) ->
+LogisticRegression.  Training is MLlib's distributed L-BFGS
+(treeAggregate gradient passes — the standard cluster path); scoring is
+a stateless JVM transform, no Python in the scoring plan.  At 10^12
+docs you train on a sample (quality labels are never abundant) and
+score the full corpus map-side; the model itself is a single dense
+vector of `n_features` weights.
+
+Labels: bring your own (human or LLM judgments), or bootstrap weak
+labels from the heuristic tier with `weak_labels_from_heuristics` —
+top-quantile docs as positives, bottom-quantile as negatives, the
+ambiguous middle DROPPED (the CCNet trick: train only where the weak
+signal is confident).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_SCRATCH_COLS = ("__toks", "__chars", "__bigrams", "__chartri",
+                 "__f1", "__f2", "__f3", "__distinct_ratio",
+                 "__alpha_ratio", "__heur", "__features",
+                 "__prob", "__raw", "__pred")
+
+
+def _pipeline(text_col: str, n_features: int, max_iter: int,
+              reg_param: float):
+    """fastText-style feature set, ALL inside the PipelineModel (JVM):
+    word unigrams + word BIGRAMS + char TRIGRAMS (gibberish tokens are
+    unseen words at scoring time and would collapse to the intercept;
+    their character shapes recur), hashed as PRESENCE features
+    (binary=True), plus two bounded heuristic features (distinct-token
+    ratio, alphabetic ratio — standard CCNet practice; note the
+    distinct ratio is NON-monotone with quality: gibberish sits at 1.0,
+    fluent text ~0.8, degenerate repetition ~0.02, so it is an input,
+    not a gate).  binary=True is load-bearing: with count TF, a
+    degenerate repetition of a word seen (in fluent context) during
+    training amplifies that word's positive identity weight by the
+    repeat count and swamps the intercept — measured held-out accuracy
+    0.80, every miss exactly that case, flat across regParam 1e-4..1.
+    With presence hashing the repeat contributes its weight once, the
+    repeated bigram is unseen, and the same corpus scores 1.0 held-out,
+    flat across the same regParam sweep (fastText's mean-of-embeddings
+    similarly bounds per-token influence)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (HashingTF, NGram, RegexTokenizer,
+                                    SQLTransformer, VectorAssembler)
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__toks",
+                         pattern=r"\s+", toLowercase=True)
+    chars = SQLTransformer(statement=(
+        f"SELECT *, split(lower(coalesce({text_col}, '')), '') AS __chars,"
+        " CAST(size(array_distinct(__toks)) AS DOUBLE)"
+        "   / greatest(size(__toks), 1) AS __distinct_ratio,"
+        f" CAST(length(regexp_replace(lower(coalesce({text_col}, '')),"
+        " '[^a-z ]', '')) AS DOUBLE)"
+        f"   / greatest(length(coalesce({text_col}, '')), 1)"
+        " AS __alpha_ratio"
+        " FROM __THIS__"))
+    big = NGram(n=2, inputCol="__toks", outputCol="__bigrams")
+    tri = NGram(n=3, inputCol="__chars", outputCol="__chartri")
+    tf1 = HashingTF(inputCol="__toks", outputCol="__f1",
+                    numFeatures=n_features, binary=True)
+    tf2 = HashingTF(inputCol="__bigrams", outputCol="__f2",
+                    numFeatures=n_features, binary=True)
+    tf3 = HashingTF(inputCol="__chartri", outputCol="__f3",
+                    numFeatures=n_features, binary=True)
+    asm = VectorAssembler(
+        inputCols=["__f1", "__f2", "__f3", "__distinct_ratio",
+                   "__alpha_ratio"],
+        outputCol="__features")
+    lr = LogisticRegression(featuresCol="__features", labelCol="label",
+                            maxIter=max_iter, regParam=reg_param,
+                            probabilityCol="__prob",
+                            rawPredictionCol="__raw",
+                            predictionCol="__pred")
+    return Pipeline(stages=[tok, chars, big, tri, tf1, tf2, tf3, asm, lr])
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 1 << 18,
+    max_iter: int = 20,
+    reg_param: float = 1e-4,
+):
+    """Fit the classifier on (text, label in {0.0, 1.0}) rows -> a fitted
+    pyspark.ml PipelineModel (save/load via its own .save/.load).  Null
+    text trains as empty (the engine-wide null-text rule)."""
+    df = labeled.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit("")))
+    if label_col != "label":
+        df = df.withColumn("label", F.col(label_col).cast("double"))
+    else:
+        df = df.withColumn("label", F.col("label").cast("double"))
+    return _pipeline(text_col, n_features, max_iter, reg_param).fit(df)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    out_col: str = "model_quality",
+) -> DataFrame:
+    """Add P(good) per doc.  Stateless JVM transform — the scoring plan
+    contains no Python stage (asserted in tests); intermediate feature
+    columns are dropped."""
+    if out_col in docs.columns:
+        raise ValueError(f"score_quality: output column {out_col!r} exists")
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+    return scored.withColumn(
+        out_col, vector_to_array(F.col("__prob")).getItem(1)
+    ).drop(*_SCRATCH_COLS)
+
+
+def weak_labels_from_heuristics(
+    docs: DataFrame,
+    quality_col: str = "quality",
+    pos_quantile: float = 0.7,
+    neg_quantile: float = 0.3,
+) -> DataFrame:
+    """Bootstrap training labels from the heuristic quality score: docs
+    above the pos_quantile -> label 1, below the neg_quantile -> 0, the
+    middle DROPPED (only confident weak labels train).  Quantiles via
+    approxQuantile (sketch — no global sort)."""
+    if not 0 <= neg_quantile < pos_quantile <= 1:
+        raise ValueError("need 0 <= neg_quantile < pos_quantile <= 1")
+    lo, hi = docs.approxQuantile(
+        quality_col, [neg_quantile, pos_quantile], 0.001)
+    return (
+        docs.filter((F.col(quality_col) <= lo) | (F.col(quality_col) >= hi))
+        .withColumn("label",
+                    (F.col(quality_col) >= hi).cast("double"))
+    )
