@@ -190,7 +190,7 @@ MAX_COVER_M = 200_000.0
 def measured_radius_m(cells: np.ndarray) -> np.ndarray:
     """Local hex circumradius in meters, measured from each cell's actual
     ring-1 neighbor spacing (spacing s = sqrt(3)*R) — exact local gnomonic
-    scale, valid at face edges (the knn._radius_m_udf core, factored out)."""
+    scale, valid at face edges (knn._radius_m_udf wraps this)."""
     ring1 = kring(np.asarray(cells, dtype=np.int64), 1)  # (n, 7), col 0 = self
     la, lo = cell_center_latlon(ring1.ravel())
     la = la.reshape(ring1.shape)
@@ -242,11 +242,20 @@ def _uv_on_face(f: int, x, y, z):
 # so meters-per-uv lies in [R_e/n^2, R_e/n].  Two exact consequences:
 #
 #  * ring_count_uv: a geodesic of length L meters starting at (u, v)
-#    cannot leave the uv disk of radius e = L * n_max^2 / R_e before
-#    spending its length (speed in uv <= n_max^2 / R_e inside the disk),
-#    so k rings with (1.5k - 1) * r_uv >= e cover every point within L
-#    meters (hex apothem bound, measured from the query point which sits
-#    inside its own cell).
+#    cannot leave a uv box of half-width e before spending its length
+#    whenever e is SELF-CONSISTENT: e >= L/R_e * n2_max(u, v, e)
+#    (bootstrap: inside the box, uv speed <= n2_max(e)/R_e, so uv
+#    distance traveled <= L*n2_max(e)/R_e <= e — the geodesic never
+#    reaches the boundary).  The unclipped fixpoint of
+#    e = c*(1 + (|u|+e)^2 + (|v|+e)^2) with c = L/R_e is a quadratic
+#    with closed-form smaller root e*; one application of the (clipped)
+#    map gives e_uv = c*n2_max(u, v, e*, clip) <= e*, which is itself
+#    self-consistent because n2_max is monotone in e.  Then k rings with
+#    (1.5k - 1) * r_uv >= e_uv cover every point within L meters (hex
+#    apothem bound, measured from the query point which sits inside its
+#    own cell).  This holds for arbitrary unclipped (u, v) — the
+#    neighbor-face anchor calls near cube corners included — unlike a
+#    fixed n^2 <= 3 seed, which is only valid on-face.
 #  * claim_m: conversely kring(k) provably contains every point within
 #    (1.5k - 1) * r_uv * R_e / n_max^2 meters — the kNN doneness claim.
 #
@@ -274,8 +283,21 @@ def ring_count_uv(cover_m, u, v, res: int, clip: bool = True):
     vectorized)."""
     cover = np.asarray(cover_m, dtype=np.float64)
     r_uv = RES0_R / (SQRT7 ** res)
-    e0 = cover * 3.0 / EARTH_RADIUS_M  # n^2 <= 3 seed for the disk extent
-    e_uv = cover * _n2_max(u, v, e0, clip) / EARTH_RADIUS_M
+    c = cover / EARTH_RADIUS_M
+    a = np.abs(np.asarray(u, dtype=np.float64))
+    b = np.abs(np.asarray(v, dtype=np.float64))
+    # smaller root e* of the unclipped fixpoint
+    # e = c * (1 + (a + e)^2 + (b + e)^2)  (see block comment)
+    qa = 2.0 * c
+    qb = 2.0 * c * (a + b) - 1.0
+    qc = c * (1.0 + a * a + b * b)
+    disc = qb * qb - 4.0 * qa * qc
+    if np.any(qb >= 0.0) or np.any(disc <= 0.0):
+        raise ValueError(
+            "ring_count_uv: cover_m too large for a self-consistent uv "
+            "disk bound at this uv — use the polygon-cover join instead")
+    e_star = 2.0 * qc / (-qb + np.sqrt(disc))  # stable; -> -qc/qb as c -> 0
+    e_uv = c * _n2_max(u, v, e_star, clip)     # <= e*, still self-consistent
     k = np.ceil((e_uv / r_uv + 1.0) / 1.5)
     return np.maximum(k.astype(np.int64), 1)
 

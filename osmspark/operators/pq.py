@@ -247,6 +247,10 @@ def pq_decode(
     def _recon(col: pd.Series) -> np.ndarray:
         codes = np.stack(
             [np.frombuffer(b, dtype=np.uint8) for b in col.to_numpy()])
+        if codes.shape[1] != m:
+            raise ValueError(
+                f"pq_decode: code width {codes.shape[1]} != codebook m={m} "
+                "— the table was encoded with different codebooks")
         return cb[np.arange(m)[None, :], codes].reshape(len(codes), m * dsub)
 
     if cents is None:
@@ -345,6 +349,10 @@ def ivf_pq_topk(
         lut = np.einsum("qsd,skd->qsk", Qs, eff)            # (nq, m, K)
         codes = np.stack([np.frombuffer(b, dtype=np.uint8)
                           for b in vdf["pq_code"].to_numpy()])  # (nv, m)
+        if codes.shape[1] != m:
+            raise ValueError(
+                f"ivf_pq_topk: code width {codes.shape[1]} != codebook "
+                f"m={m} — the index was built with different codebooks")
         nq, nv = len(Q), len(codes)
         dots = np.zeros((nq, nv))
         nsq = np.zeros(nv)

@@ -18,11 +18,16 @@ Semantics vs the batch operator (documented divergence, pinned by test):
     nondecreasing timestamp order ACROSS micro-batches (the CDC-log
     reality); within a batch, rows are processed in timestamp order
     regardless of arrival.
-  * equal-timestamp tiebreak among right rows is ARRIVAL order (last
-    update wins — CDC semantics), where the batch operator uses a
-    value-based struct ordering.  On inputs without duplicate right
-    timestamps per key the two operators agree row-for-row
-    (batch-equivalence test).
+  * equal-timestamp tiebreak among right rows WITHIN a micro-batch is
+    the batch operator's value-based (field-wise, nulls-first) ordering
+    — arrival order within a batch is not recoverable after the
+    groupBy shuffle, so "arrival order" would really be nondeterministic
+    exchange order; pinning the struct tiebreak makes the pick
+    deterministic AND batch-equivalent.  ACROSS micro-batches the
+    carried state row loses ties to a new equal-ts right (CDC
+    last-update-wins), which can differ from the batch operator run
+    over the concatenated history.  Right value types pandas cannot
+    compare (arrays/structs) fall back to exchange order for ties.
 
 The kernel is vectorized: per (key, batch) one pandas sort plus one
 numpy searchsorted — no per-row Python loop.
@@ -123,9 +128,19 @@ def streaming_asof_enrich(
 
     def update(key, pdfs, state):
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # timestamp order; stable keeps arrival order at equal ts, and
-        # rights sort before lefts at the same ts (backward-inclusive)
-        batch = batch.sort_values(["__t", "__is_l"], kind="stable")
+        # timestamp order; rights sort before lefts at the same ts
+        # (backward-inclusive).  Equal-ts RIGHT ties are broken by
+        # field-wise value order, nulls first — the batch operator's
+        # struct tiebreak ("last right in window order wins"), so the
+        # pick is deterministic across runs instead of inheriting
+        # whatever order the exchange produced.  Right value types that
+        # pandas cannot compare (arrays/structs) fall back to
+        # post-shuffle order (documented divergence).
+        try:
+            batch = batch.sort_values(
+                ["__t", "__is_l"] + rc, kind="stable", na_position="first")
+        except TypeError:
+            batch = batch.sort_values(["__t", "__is_l"], kind="stable")
         rights = batch[batch["__is_l"] == 0]
         lefts = batch[batch["__is_l"] == 1]
 

@@ -424,3 +424,47 @@ def test_streaming_asof_enrich_matches_batch(tmp_path, spark):
     with pytest.raises(ValueError, match="collide"):
         streaming_asof_enrich(
             left.withColumn("price_right", F.lit(1)), right)
+
+
+def test_streaming_asof_enrich_duplicate_right_ts_tiebreak(tmp_path, spark):
+    """Equal-timestamp RIGHT rows arriving in the SAME micro-batch resolve
+    by the batch operator's field-wise struct tiebreak (greatest value
+    row wins, nulls first), not by nondeterministic post-shuffle order —
+    parity asserted against batch asof_join on an input that is ALL
+    duplicate-ts collisions, including a null-valued contender."""
+    from osmspark.operators.temporal import asof_join
+    from osmspark.streaming.temporal import streaming_asof_enrich
+
+    # per key: three right rows at the SAME ts with shuffled value order,
+    # one of them null-priced (nulls-first => it must lose)
+    lrows, rrows = [], []
+    for k in range(6):
+        lrows += [(k, 50, 1.0), (k, 10, 2.0)]  # one after, one before
+        rrows += [(k, 20, 9.0 - k, "mid"), (k, 20, None, "nul"),
+                  (k, 20, 20.0 + k, "top")]
+    left = spark.createDataFrame(lrows, "user_id long, ts long, value double")
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts long, price double, tag string")
+
+    ld, rd = str(tmp_path / "dup_l"), str(tmp_path / "dup_r")
+    # single file per side => all collisions land in one micro-batch
+    left.coalesce(1).write.parquet(ld)
+    # shuffle the rights across many partitions, then back to one file so
+    # the within-batch order is whatever the exchange produced
+    right.repartition(8).coalesce(1).write.parquet(rd)
+
+    ls = spark.readStream.schema(left.schema).parquet(ld)
+    rs = spark.readStream.schema(right.schema).parquet(rd)
+    got = ev.run_to_memory(
+        streaming_asof_enrich(ls, rs, on="ts", by="user_id"), "asof_dup")
+    g = sorted([tuple(r) for r in got.collect()])
+    b = sorted([tuple(r) for r in asof_join(
+        left, right, on="ts", by="user_id", direction="backward")
+        .select(*got.columns).collect()])
+    assert g == b
+    # and the pick is the value-greatest struct, concretely
+    rows = {(r["user_id"], r["ts"]): r for r in got.collect()}
+    for k in range(6):
+        assert rows[(k, 50)]["price_right"] == 20.0 + k
+        assert rows[(k, 50)]["tag_right"] == "top"
+        assert rows[(k, 10)]["price_right"] is None  # no right at/before 10
