@@ -89,6 +89,35 @@ def _pipeline(text_col: str, n_features: int, max_iter: int,
     return Pipeline(stages=[tok, chars, big, tri, tf1, tf2, tf3, asm, lr])
 
 
+def _strip_training_summary(model) -> None:
+    """Drop fitted stages' training summaries before the model escapes:
+    Spark 4's LogisticRegressionModel keeps `trainingSummary` in a
+    NON-transient JVM field, and the summary holds the SparkSession
+    (whose ObservationManager is not serializable), so a transform whose
+    task closure serializes a freshly-fit model can die with
+    TaskNotSerializable — observed order-dependently in the full test
+    suite, never standalone.  Models loaded from disk have no summary,
+    which is why save/load users never hit it.  The field is private, so
+    this goes through JVM reflection (public API on public classes; the
+    Spark jars live in the unnamed module, so setAccessible is legal
+    under Java 17)."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    for stage in getattr(model, "stages", [model]):
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if not jobj.hasSummary():
+                continue
+        except Exception:
+            continue  # stage type has no summary concept
+        fld = jobj.getClass().getDeclaredField("trainingSummary")
+        fld.setAccessible(True)
+        fld.set(jobj, jvm.scala.Option.empty())
+
+
 def train_quality_model(
     labeled: DataFrame,
     text_col: str = "text",
@@ -99,14 +128,19 @@ def train_quality_model(
 ):
     """Fit the classifier on (text, label in {0.0, 1.0}) rows -> a fitted
     pyspark.ml PipelineModel (save/load via its own .save/.load).  Null
-    text trains as empty (the engine-wide null-text rule)."""
+    text trains as empty (the engine-wide null-text rule).  The LR
+    stage's training summary is stripped before return (see
+    `_strip_training_summary`); callers wanting training diagnostics
+    should compute them on a scored frame."""
     df = labeled.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit("")))
     if label_col != "label":
         df = df.withColumn("label", F.col(label_col).cast("double"))
     else:
         df = df.withColumn("label", F.col("label").cast("double"))
-    return _pipeline(text_col, n_features, max_iter, reg_param).fit(df)
+    model = _pipeline(text_col, n_features, max_iter, reg_param).fit(df)
+    _strip_training_summary(model)
+    return model
 
 
 def score_quality(

@@ -56,6 +56,10 @@ def test_supervised_accuracy_and_jvm_plan(corpus, tmp_path):
     test = corpus.filter(F.xxhash64("doc_id") % 10 >= 7)
     model = qm.train_quality_model(train, label_col="truth",
                                    n_features=1 << 14, max_iter=10)
+    # the training summary must be gone: it holds the SparkSession, and a
+    # fresh model captured in a task closure is otherwise
+    # TaskNotSerializable (order-dependent in the full suite)
+    assert not model.stages[-1]._java_obj.hasSummary()
     scored = qm.score_quality(test, model)
     acc = _accuracy(scored)
     assert acc >= 0.95, acc     # measured 1.0 on this separable corpus
