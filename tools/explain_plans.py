@@ -369,6 +369,23 @@ def main() -> None:
           lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.search import bm25_topk
+
+    bm25_queries = spark.createDataFrame(
+        [(0, "hash join table"), (1, "window agg")],
+        "query_id long, query_text string")
+    text_docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    add(
+        "BM25 inverted-index top-k (round 5 — search)",
+        bm25_topk(text_docs, bm25_queries, k=10),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("query terms broadcast, postings stream",
+          lambda p: "BroadcastHashJoin" in p and "BroadcastExchange" in p),
+         ("partial+final aggregation on the postings groupBy",
+          lambda p: "HashAggregate" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
