@@ -386,6 +386,27 @@ def main() -> None:
           lambda p: "HashAggregate" in p)],
     )
 
+    from osmspark.operators.interval import interval_join
+
+    iv_events = spark.createDataFrame(
+        [(i, float(i % 1000)) for i in range(5000)],
+        "event_id long, ts double")
+    iv_ranges = spark.createDataFrame(
+        [(i, float(i * 10 % 990), float(i * 10 % 990) + 25.0)
+         for i in range(200)],
+        "range_id long, start double, end double")
+    add(
+        "Interval join (round 5 — binned band join)",
+        interval_join(iv_events, iv_ranges, bin_width=50.0),
+        [("equi-join on the bin key, band predicate in the same join "
+          "(no cartesian / nested-loop)",
+          lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p),
+         ("ZERO Python", lambda p: "EvalPython" not in p),
+         ("range explode is a native sequence generator",
+          lambda p: "Generate" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
