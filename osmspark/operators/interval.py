@@ -66,6 +66,7 @@ def interval_join(
     bin_width=None,
     max_bins_per_range: int = 4096,
     how: str = "inner",
+    salt: int = 1,
 ) -> DataFrame:
     """Join each event to every range with start <= ts < end (half-open)
     -> all event columns + all range columns.  `how` is 'inner' or
@@ -77,7 +78,16 @@ def interval_join(
 
     `bin_width` is in the joined unit (epoch SECONDS for timestamp
     columns, the column's own unit for numerics); None sizes it from the
-    p90 range length.  See the module docstring for the plan shape."""
+    p90 range length.  See the module docstring for the plan shape.
+
+    `salt > 1` splits each hot bin across `salt` shuffle lanes: every
+    event hashes into ONE lane, every range replicates into ALL lanes
+    of each of its bins (x`salt` on the exploded range side — cheap,
+    ranges are the small side), and the join key becomes (bin, lane).
+    Correctness is lane-assignment-independent because ranges cover
+    every lane, so the meets-once and left-outer properties are
+    untouched; use it when one popular hour holds a large share of both
+    sides and AQE's skew split is not enough."""
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join: how={how!r} (inner or left)")
     clash = set(events.columns) & set(ranges.columns)
@@ -120,10 +130,20 @@ def interval_join(
                   f"bin_width={w!r} — widen the bins or split the range"),
         )).cast("long")
     )
+    if salt < 1:
+        raise ValueError("interval_join: salt must be >= 1")
     r_binned = rng.withColumn(
         "__ij_bin", F.explode(F.sequence(b0, b1_guarded)))
     e_binned = events.withColumn(
         "__ij_bin", F.floor(ts / F.lit(w)).cast("long"))
+    if salt > 1:
+        r_binned = r_binned.withColumn(
+            "__ij_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
+        e_binned = e_binned.withColumn(
+            "__ij_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in events.columns]),
+                   F.lit(int(salt))).cast("long"))
 
     # containment rides the SAME join condition as the bin equi-key, so
     # Catalyst hash-joins on the bin and band-filters matches in place
@@ -132,6 +152,8 @@ def interval_join(
     r_hi = _numeric(r_binned[end_col], r_dt[end_col]).cast("double")
     cond = ((e_binned["__ij_bin"] == r_binned["__ij_bin"])
             & (e_ts >= r_lo) & (e_ts < r_hi))
+    if salt > 1:
+        cond = cond & (e_binned["__ij_salt"] == r_binned["__ij_salt"])
     joined = e_binned.join(r_binned, cond, how)
     return joined.select(
         *[e_binned[c] for c in events.columns],

@@ -111,3 +111,25 @@ def test_interval_join_plan_shape(spark, events, ranges):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Join" in plan, plan
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_interval_join_salted_equals_plain(spark, events, ranges, how):
+    """salt=4 returns exactly the plain join's pairs (ranges cover every
+    lane, so lane assignment cannot change the result), and the salted
+    key still plans as an equi-join."""
+    plain = sorted(
+        (r["event_id"], r["range_id"])
+        for r in interval_join(events, ranges, bin_width=3600.0, how=how)
+        .select("event_id", "range_id").collect())
+    salted_df = interval_join(events, ranges, bin_width=3600.0, how=how,
+                              salt=4)
+    salted = sorted((r["event_id"], r["range_id"])
+                    for r in salted_df.select("event_id", "range_id")
+                    .collect())
+    assert salted == plain
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    with pytest.raises(ValueError, match="salt"):
+        interval_join(events, ranges, bin_width=3600.0, salt=0)
