@@ -133,3 +133,29 @@ def test_interval_join_salted_equals_plain(spark, events, ranges, how):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     with pytest.raises(ValueError, match="salt"):
         interval_join(events, ranges, bin_width=3600.0, salt=0)
+
+
+def test_interval_join_streams_stream_static(spark, events, ranges, tmp_path):
+    """The operator is pure native ops, so a streaming LEFT side joins a
+    static ranges side with the SAME code path — batch parity checked on
+    both join types (stream-static left-outer is supported when the
+    stream is on the left)."""
+    from osmspark.streaming import events as ev
+
+    path = str(tmp_path / "iv_stream")
+    events.coalesce(4).write.parquet(path)
+    for how in ("inner", "left"):
+        es = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 2).parquet(path))
+        got = sorted(
+            (r["event_id"], r["range_id"])
+            for r in ev.run_to_memory(
+                interval_join(es, ranges, bin_width=3600.0, how=how),
+                f"iv_{how}")
+            .select("event_id", "range_id").collect())
+        want = sorted(
+            (r["event_id"], r["range_id"])
+            for r in interval_join(events, ranges, bin_width=3600.0,
+                                   how=how)
+            .select("event_id", "range_id").collect())
+        assert got == want
