@@ -348,7 +348,11 @@ def main() -> None:
         (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"), "text")
     post = build_postings(big_docs).persist()
     post.count()
-    bm_stats = corpus_stats(post)
+    # stats collected ONCE to a literal frame — a lazy corpus_stats
+    # would re-run its postings aggregation inside every timed trial
+    srow = corpus_stats(post).collect()[0]
+    bm_stats = spark.createDataFrame(
+        [(srow["n_docs"], srow["avgdl"])], "n_docs long, avgdl double")
     _terms = ["hash", "join", "table", "value", "window", "agg", "spark",
               "data", "row", "scan", "fast", "slow", "filter", "query"]
     bm_qs = spark.createDataFrame(

@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_col
+
 # --- exact -----------------------------------------------------------------
 
 
@@ -46,8 +48,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # --- tokenization / shingles (shared) --------------------------------------
 
 
-def tokens_col(text_col: str = "text"):
-    """Whitespace tokens, lowercased — native split (JVM-side)."""
+def raw_tokens_col(text_col: str = "text"):
+    """Whitespace tokens, lowercased — native split (JVM-side).
+    UNFILTERED and null-propagating (callers add their own empty-token
+    filter / coalesce); the engine-wide filtered tokenizer is
+    functions.text.tokens_col — do NOT reuse this name, it shadowed the
+    shared import once."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
@@ -56,7 +62,7 @@ def shingles_col(n: int = 3, text_col: str = "text"):
 
     Guarded for short/empty docs: Spark's sequence(0, -1) would generate a
     DESCENDING sequence, not an empty one."""
-    toks = tokens_col(text_col)
+    toks = raw_tokens_col(text_col)
     m = F.size(toks) - F.lit(n - 1)
     return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -78,12 +84,7 @@ def token_hashes_col(text_col: str = "text"):
     xxhash64 runs it inside whole-stage codegen).  Empty tokens (split
     artifacts on empty/whitespace text) are dropped; NULL text behaves as
     empty (zero tokens — the retired UDFs' semantics)."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                r"\s+"),
-        lambda t: t != "",
-    )
-    return F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
 
 
 def minhash_params(num_perm: int, seed: int = 42):
@@ -568,7 +569,7 @@ def duplicated_ngram_spans(
     if min_count < 2:
         raise ValueError("duplicated_ngram_spans: min_count < 2 would mark "
                          "every gram as duplicated")
-    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    toks = F.filter(raw_tokens_col(text_col), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     m = F.size("__toks") - F.lit(n - 1)
     grams = base.select(
@@ -648,7 +649,7 @@ def remove_spans(
     # null text reads as zero tokens (not a null-propagating -1 count —
     # the repetition_stats null-doc fix, same class)
     toks = F.filter(
-        F.coalesce(tokens_col(text_col), F.array().cast("array<string>")),
+        F.coalesce(raw_tokens_col(text_col), F.array().cast("array<string>")),
         lambda t: t != "",
     )
     j = docs.join(sp, F.col(id_col) == F.col("__sid"), "left")

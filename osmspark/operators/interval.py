@@ -31,11 +31,13 @@ Hot bins (a popular hour holding many events AND many ranges) degrade
 the same way any equi-join skew does; AQE skew-join handles moderate
 cases, and re-binning finer splits the hot key directly.
 
-Timestamps: numeric columns join as-is; TIMESTAMP columns are compared
-as epoch-seconds doubles (cast('double') keeps microsecond fractions).
-That cast is faithful: at 2024-epoch magnitudes a double ulp is ~0.24
-microseconds, so distinct microsecond timestamps stay distinct and
-ordered, and both sides of every comparison go through the same cast.
+Exactness: the containment predicate and the empty-range filter compare
+the ORIGINAL column types (timestamps as timestamps, int64 as int64 —
+no rounding anywhere a match is decided).  Doubles appear only in BIN
+ASSIGNMENT, where the epoch-seconds view is monotone, so an event's bin
+always lands inside its range's covering-bin interval even when
+rounding nudges values — bins affect candidate routing, never the
+result.
 """
 
 from __future__ import annotations
@@ -45,12 +47,12 @@ from pyspark.sql import functions as F
 
 
 def _numeric(col, dtype: str):
-    """Comparable numeric view of a point/bound column: timestamps ->
-    epoch-seconds double (faithful at microsecond resolution; module
-    docstring), numerics unchanged.  ANSI mode forbids the direct
-    timestamp->double cast, so this goes through unix_micros (NTZ is
-    first reinterpreted in the session zone — consistently on both
-    sides, so comparisons are unaffected)."""
+    """Monotone numeric view of a point/bound column — used ONLY for bin
+    assignment (module docstring): timestamps -> epoch-seconds double,
+    numerics unchanged.  ANSI mode forbids the direct timestamp->double
+    cast, so this goes through unix_micros (NTZ is first reinterpreted
+    in the session zone — consistently on both sides, so bins stay
+    consistent)."""
     if dtype.startswith("timestamp"):
         return (F.unix_micros(col.cast("timestamp")).cast("double")
                 / F.lit(1_000_000.0))
@@ -90,18 +92,31 @@ def interval_join(
     sides and AQE's skew split is not enough."""
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join: how={how!r} (inner or left)")
+    if salt < 1:
+        raise ValueError("interval_join: salt must be >= 1")
     clash = set(events.columns) & set(ranges.columns)
     if clash:
         raise ValueError(
             f"interval_join: column(s) {sorted(clash)} exist on both "
             "sides — rename one side first")
+    internal = {"__ij_bin", "__ij_salt"} & (
+        set(events.columns) | set(ranges.columns))
+    if internal:
+        raise ValueError(
+            f"interval_join: column(s) {sorted(internal)} collide with "
+            "internal helper names — rename them first")
     e_dt = dict(events.dtypes)[ts_col]
     r_dt = dict(ranges.dtypes)
+    # doubles are used ONLY for bin assignment (monotone, so an event's
+    # bin provably lands inside its range's covering-bin interval even
+    # when rounding moves values); the containment predicate and the
+    # emptiness filter compare the ORIGINAL column types exactly, so
+    # int64 keys beyond 2^53 (ns epochs, snowflake ids) never mis-join
     ts = _numeric(F.col(ts_col), e_dt).cast("double")
     lo = _numeric(F.col(start_col), r_dt[start_col]).cast("double")
     hi = _numeric(F.col(end_col), r_dt[end_col]).cast("double")
 
-    rng = ranges.filter(hi > lo)
+    rng = ranges.filter(F.col(end_col) > F.col(start_col))
     if bin_width is None:
         # one documented action: p90 range length sizes the bin so ~90%
         # of ranges explode to <= 2 bins
@@ -130,8 +145,6 @@ def interval_join(
                   f"bin_width={w!r} — widen the bins or split the range"),
         )).cast("long")
     )
-    if salt < 1:
-        raise ValueError("interval_join: salt must be >= 1")
     r_binned = rng.withColumn(
         "__ij_bin", F.explode(F.sequence(b0, b1_guarded)))
     e_binned = events.withColumn(
@@ -146,12 +159,11 @@ def interval_join(
                    F.lit(int(salt))).cast("long"))
 
     # containment rides the SAME join condition as the bin equi-key, so
-    # Catalyst hash-joins on the bin and band-filters matches in place
-    e_ts = _numeric(e_binned[ts_col], e_dt).cast("double")
-    r_lo = _numeric(r_binned[start_col], r_dt[start_col]).cast("double")
-    r_hi = _numeric(r_binned[end_col], r_dt[end_col]).cast("double")
+    # Catalyst hash-joins on the bin and band-filters matches in place;
+    # raw-type comparisons (exact — see note above)
     cond = ((e_binned["__ij_bin"] == r_binned["__ij_bin"])
-            & (e_ts >= r_lo) & (e_ts < r_hi))
+            & (e_binned[ts_col] >= r_binned[start_col])
+            & (e_binned[ts_col] < r_binned[end_col]))
     if salt > 1:
         cond = cond & (e_binned["__ij_salt"] == r_binned["__ij_salt"])
     joined = e_binned.join(r_binned, cond, how)

@@ -97,13 +97,10 @@ def _strip_training_summary(model) -> None:
     task closure serializes a freshly-fit model can die with
     TaskNotSerializable — observed order-dependently in the full test
     suite, never standalone.  Models loaded from disk have no summary,
-    which is why save/load users never hit it.  The field is private, so
-    this goes through JVM reflection (public API on public classes; the
-    Spark jars live in the unnamed module, so setAccessible is legal
-    under Java 17)."""
-    from pyspark import SparkContext
-
-    jvm = SparkContext._active_spark_context._jvm
+    which is why save/load users never hit it.  HasTrainingSummary
+    exposes a public setSummary(Option) setter, so this is a plain JVM
+    call — fetched lazily per summary-bearing stage, so sessions with
+    no classic JVM handle (stages then have no _java_obj) skip cleanly."""
     for stage in getattr(model, "stages", [model]):
         jobj = getattr(stage, "_java_obj", None)
         if jobj is None:
@@ -113,9 +110,12 @@ def _strip_training_summary(model) -> None:
                 continue
         except Exception:
             continue  # stage type has no summary concept
-        fld = jobj.getClass().getDeclaredField("trainingSummary")
-        fld.setAccessible(True)
-        fld.set(jobj, jvm.scala.Option.empty())
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return
+        jobj.setSummary(sc._jvm.scala.Option.empty())
 
 
 def train_quality_model(

@@ -48,14 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: str):
-    """Whitespace tokens, lowercased, null text as empty, no empty
-    tokens — the engine-wide tokenizer (textstats.py's convention; the
-    DuckDB twin is list_filter(string_split_regex(lower(trim(text)),
-    '\\s+'), t -> t <> ''))."""
-    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                   r"\s+")
-    return F.filter(toks, lambda t: t != "")
+from ..functions.text import tokens_col as _tokens  # engine-wide tokenizer
 
 
 def build_postings(

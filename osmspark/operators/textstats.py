@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_col
+
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
                 "that", "for", "on", "with", "as", "at", "by", "this"]
 
@@ -177,8 +179,7 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = F.filter(F.split(F.lower(F.trim(_text(text_col))), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens_col(text_col)
     s1 = docs.select(F.col(id_col), toks.alias("__toks"))
     s1 = s1.select("*", F.size("__toks").alias("__n")).filter(F.col("__n") > 0)
     starts = F.sequence(
@@ -275,8 +276,7 @@ def repetition_stats(docs: DataFrame, n: int = 2,
     docs this pipelines inside the scan stage like chunk_documents."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = F.filter(F.split(F.lower(F.trim(_text(text_col))), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens_col(text_col)
     s1 = docs.select(F.col(id_col), toks.alias("__toks"))
     s1 = s1.select(id_col, "__toks", F.size("__toks").alias("__n"))
     # sequence(1, stop) counts DOWN when stop < 1 — guard short docs to an

@@ -104,6 +104,52 @@ print(json.dumps({{"cores": cores, "sec": round(dt, 3),
 spark.stop()
 """
 
+# Aggregation-exchange-bound variant (round 5): the BM25 scan is a third
+# shuffle shape — the probe join is map-side (query terms broadcast, the
+# persisted postings stream), and the cost concentrates in the
+# (query_id, doc_id) partial+final aggregation exchange (~19M groups from
+# ~47M matched postings at 100 queries x 200k docs) plus the per-query
+# top-k window exchange.  Index build, corpus replication and warm-up run
+# OUTSIDE the clock: what repeats at scale is the scoring scan.
+BM25_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmspark.session import build_session
+from osmspark.operators.search import (bm25_topk_indexed, build_postings,
+                                       corpus_stats)
+
+cores = int(sys.argv[1]); docs_path = sys.argv[2]; n_queries = int(sys.argv[3])
+spark = build_session(f"scale-bm25-{{cores}}", cores=cores)
+tdocs = spark.read.parquet(docs_path).select("doc_id", "text")
+reps = spark.range(40).select(F.col("id").alias("rep"))
+big = tdocs.crossJoin(reps).select(
+    (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"), "text")
+post = build_postings(big).persist()
+post.count()  # write-once index build, OUTSIDE the clock
+# stats collected once to a literal frame (a lazy corpus_stats would
+# re-run its postings aggregation inside every timed scan)
+srow = corpus_stats(post).collect()[0]
+stats = spark.createDataFrame(
+    [(srow["n_docs"], srow["avgdl"])], "n_docs long, avgdl double")
+_terms = ["hash", "join", "table", "value", "window", "agg", "spark",
+          "data", "row", "scan", "fast", "slow", "filter", "query"]
+qs = spark.createDataFrame(
+    [(i, f"{{_terms[i % 14]}} {{_terms[(i // 14) % 14]}} "
+         f"{{_terms[(i * 5 + 3) % 14]}}") for i in range(n_queries)],
+    "query_id long, query_text string")
+# JIT/Arrow warm-up on a slice, unmeasured (same code paths)
+bm25_topk_indexed(post, qs.filter(F.col("query_id") < 20), k=10,
+                  stats=stats).count()
+t0 = time.time()
+n = bm25_topk_indexed(post, qs, k=10, stats=stats).count()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 3),
+                   "queries_per_sec": round(n_queries / dt, 1),
+                   "n_results": n}}))
+spark.stop()
+"""
+
 # Null workload: perfectly parallel, zero-shuffle, zero-Python pure-JVM
 # codegen loop.  Its N-vs-4N efficiency IS the machine's parallel ceiling.
 NULL_CHILD = r"""
@@ -158,10 +204,25 @@ def run_null(cores: int) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    job = "ivf" if "--job=ivf" in sys.argv[1:] else "pip"
+    job = "pip"
+    for flag, name in (("--job=ivf", "ivf"), ("--job=bm25", "bm25")):
+        if flag in sys.argv[1:]:
+            job = name
     from osmspark.session import build_session
 
-    if job == "pip":
+    if job == "bm25":
+        n_units = int(args[0]) if args else 100
+        input_path = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        ) + "/documents.parquet"
+        child, unit_key, size_key = BM25_CHILD, "queries_per_sec", "n_queries"
+        artifact = "BENCH_SCALING_BM25.json"
+        job_desc = ("BM25 scoring scan, 200k-doc postings index, "
+                    f"{n_units} queries x ~470k matched postings each "
+                    "(aggregation-exchange-bound: broadcast probe join is "
+                    "map-side; cost is the (query,doc) partial+final "
+                    "aggregate exchange + per-query top-k window)")
+    elif job == "pip":
         n_units = int(args[0]) if args else 400_000
         from bench import ensure_docs
         spark = build_session("scale-gen", cores=8)

@@ -159,3 +159,38 @@ def test_interval_join_streams_stream_static(spark, events, ranges, tmp_path):
                                    how=how)
             .select("event_id", "range_id").collect())
         assert got == want
+
+
+def test_interval_join_int64_beyond_double_precision(spark):
+    """Containment is decided in the original types: int64 keys past
+    2^53 (where doubles cannot represent adjacent integers) still join
+    exactly at range boundaries."""
+    base = 1 << 53
+    ev = spark.createDataFrame(
+        [(1, base), (2, base + 1), (3, base + 2), (4, base + 3)],
+        "event_id long, ts long")
+    rg = spark.createDataFrame(
+        [(0, base + 1, base + 3)],  # [2^53+1, 2^53+3): events 2 and 3
+        "range_id long, start long, end long")
+    got = sorted((r["event_id"], r["range_id"]) for r in interval_join(
+        ev, rg, bin_width=10.0).select("event_id", "range_id").collect())
+    assert got == [(2, 0), (3, 0)]
+    # an exact-nonempty range that collapses under double rounding still
+    # matches its contained event
+    rg2 = spark.createDataFrame([(0, base, base + 1)],
+                                "range_id long, start long, end long")
+    got2 = [(r["event_id"], r["range_id"]) for r in interval_join(
+        ev, rg2, bin_width=10.0).select("event_id", "range_id").collect()]
+    assert got2 == [(1, 0)]
+
+
+def test_interval_join_internal_name_guard(spark):
+    ev = spark.createDataFrame([(1, 10.0)], "event_id long, ts double")
+    rg = spark.createDataFrame([(0, 0.0, 20.0)],
+                               "range_id long, start double, end double")
+    with pytest.raises(ValueError, match="internal helper names"):
+        interval_join(ev.withColumn("__ij_bin", F.lit(1)), rg,
+                      bin_width=5.0)
+    with pytest.raises(ValueError, match="internal helper names"):
+        interval_join(ev, rg.withColumn("__ij_salt", F.lit(1)),
+                      bin_width=5.0)
