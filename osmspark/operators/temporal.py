@@ -248,3 +248,80 @@ def _range_bucketed(
                 F.col("__r").alias("__seed"))
     )
     return lt2.unionByName(rt2), seed_tbl
+
+
+# --- gap-based sessionization (batch) ---------------------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    gap: float,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Assign every event its per-key session number: a new session
+    starts when the gap to the key's previous event STRICTLY exceeds
+    `gap` — an exactly-`gap` pause continues the session, which is what
+    Spark's native session_window does too (its docs describe the range
+    as [start, last + gap), but the merge is inclusive: a 60 s pause
+    under a 60 s gap MERGES, measured and pinned by the
+    native-session_window equality test).
+
+    The batch twin of streaming/events.sessionized: that one returns
+    session AGGREGATES via the native session_window; this one labels
+    the EVENT ROWS (the shape joins/filters need) as boundary-flag
+    cumsum over one window — session_seq is 1-based and contiguous per
+    key.  `gap` is SECONDS for timestamp columns, the column's own unit
+    for numerics.
+
+    Scale: one shuffle on the key; each key's timeline serializes
+    through one task (inherent — the running sum is sequential), so a
+    single global key is the same hazard the as-of join documents.
+    Rows with NULL timestamps are excluded from numbering (returned
+    with NULL session_seq).  Equal timestamps always share a session
+    (gap 0), so the labeling is deterministic under any tie order."""
+    if out_col in events.columns:
+        raise ValueError(f"sessionize: output column {out_col!r} exists")
+    dt = dict(events.dtypes)[ts_col]
+    if dt.startswith("timestamp"):
+        tnum = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                .cast("double") / F.lit(1_000_000.0))
+    else:
+        tnum = F.col(ts_col).cast("double")
+    # null-ts rows are EXCLUDED from the window before numbering — Spark
+    # orders nulls first, so a null row would otherwise become the key's
+    # "previous event" and shift every real session number
+    nn = events.filter(F.col(ts_col).isNotNull())
+    nulls = events.filter(F.col(ts_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("long"))
+    w = Window.partitionBy(by).orderBy(F.col(ts_col).asc())
+    prev = F.lag(tnum).over(w)
+    boundary = F.when(prev.isNull() | ((tnum - prev) > F.lit(float(gap))),
+                      F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy(by).orderBy(F.col(ts_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = nn.withColumn(out_col, F.sum(boundary).over(cum))
+    return labeled.unionByName(nulls)
+
+
+def session_stats(
+    events: DataFrame,
+    gap: float,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """Per-session aggregates from `sessionize`: (by, session_seq,
+    session_start, session_end, n_events) — session_end is the LAST
+    EVENT's timestamp (not last + gap; add the gap for session_window
+    parity)."""
+    s = sessionize(events, gap, ts_col=ts_col, by=by)
+    return (
+        s.filter(F.col("session_seq").isNotNull())
+        .groupBy(by, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

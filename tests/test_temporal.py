@@ -228,3 +228,80 @@ def test_asof_ranged_timestamp_on(spark):
     got = sorted(map(cols, asof_join(
         ldf, rdf, on="ts", by="k", range_buckets=6).collect()))
     assert got == want and want[-1] == (24, 121)
+
+
+def test_sessionize_matches_duckdb(spark):
+    """Batch sessionize vs an independent DuckDB window derivation on
+    the real events table (30-min gap)."""
+    import duckdb
+
+    from osmspark.operators.temporal import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "ts")
+    got = sorted(
+        (r["event_id"], r["session_seq"])
+        for r in sessionize(ev, gap=1800.0).select(
+            "event_id", "session_seq").collect())
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    want = sorted(map(tuple, con.execute("""
+        SELECT event_id,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM (SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS prev_ts
+              FROM ev)
+    """).fetchall()))
+    assert got == want
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """session_stats sessions == Spark's own session_window aggregate
+    (count and membership), including the exactly-gap boundary."""
+    from osmspark.operators.temporal import session_stats
+
+    rows = []
+    for u in range(5):
+        t = 1000 * (u + 1)
+        for k in range(30):
+            # gaps cycle through under / exactly-at / over the 60s gap
+            t += [10, 60, 61, 59][k % 4]
+            rows.append((u, t))
+    ev = spark.createDataFrame(rows, "user_id long, tsec long")
+    ev = ev.withColumn("ts", F.timestamp_seconds("tsec")).drop("tsec")
+
+    ours = session_stats(ev, gap=60.0, ts_col="ts")
+    native = (
+        ev.groupBy(F.session_window("ts", "60 seconds").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                "n_events")
+    )
+    a = sorted((r["user_id"], r["session_start"], r["n_events"])
+               for r in ours.select("user_id", "session_start",
+                                    "n_events").collect())
+    b = sorted((r["user_id"], r["session_start"], r["n_events"])
+               for r in native.collect())
+    assert a == b
+
+
+def test_sessionize_edges(spark):
+    from osmspark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 10.0), (3, 0, 15.0), (4, 0, None),
+         (5, 1, 100.0)],
+        "event_id long, user_id long, ts double")
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(ev, gap=20.0).collect()}
+    # equal timestamps share a session; numeric ts works; null excluded
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] is None
+    assert got[5] == 1
+    with pytest.raises(ValueError, match="exists"):
+        sessionize(ev.withColumn("session_seq", F.lit(1)), gap=20.0)
