@@ -276,6 +276,41 @@ def test_cover_bbox_antimeridian_and_max_cells():
         geohash.cover_bbox(-10.0, 10.0, 170.0, -170.0, 9, max_cells=64)
 
 
+def test_cover_bbox_prunes_geohash_partitioned_layout(tmp_path, spark, nodes):
+    """The cover_bbox docstring's claim, end to end: a geohash-partitioned
+    layout + an IN-list from the cover gives (a) the same answer as the
+    unpruned bbox scan and (b) the IN-list as a PartitionFilter, i.e.
+    directory-level pruning before any geometry runs."""
+    p = 5
+    path = str(tmp_path / "gh_layout")
+    pts = nodes.select("id", "lat", "lon").withColumn(
+        "gh", geohash.encode(F.col("lat"), F.col("lon"), p)
+    )
+    pts.write.partitionBy("gh").parquet(path)
+    # central sub-box of the data's own extent (datagen-agnostic)
+    ext = pts.agg(
+        F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")
+    ).collect()[0]
+    lat_min = ext[0] + 0.3 * (ext[1] - ext[0])
+    lat_max = ext[0] + 0.6 * (ext[1] - ext[0])
+    lon_min = ext[2] + 0.3 * (ext[3] - ext[2])
+    lon_max = ext[2] + 0.6 * (ext[3] - ext[2])
+    cover = geohash.cover_bbox(lat_min, lat_max, lon_min, lon_max, p)
+    back = spark.read.parquet(path)
+    inside = F.col("lat").between(lat_min, lat_max) & F.col("lon").between(
+        lon_min, lon_max
+    )
+    pruned = back.where(F.col("gh").isin(cover)).where(inside)
+    full = back.where(inside)
+    assert pruned.count() == full.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "gh" in pf
+    # and the cover actually prunes: fewer partition dirs than written
+    n_parts = back.select("gh").distinct().count()
+    assert len(cover) < n_parts
+
+
 def test_plan_is_pure_native(spark):
     df = spark.range(100).select(
         (F.rand(1) * 180 - 90).alias("lat"), (F.rand(2) * 360 - 180).alias("lon")
