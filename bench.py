@@ -344,8 +344,13 @@ def main() -> None:
     tdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text")
     reps = spark.range(40).select(F.col("id").alias("rep"))
+    # the crossJoin inherits the one-file parquet's SINGLE partition — any
+    # downstream map-side explode (postings build, LM gram counting) would
+    # run as one task; spread the corpus once and persist it
     big_docs = tdocs.crossJoin(reps).select(
-        (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"), "text")
+        (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"), "text"
+    ).repartition(64, "doc_id").persist()
+    big_docs.count()
     post = build_postings(big_docs).persist()
     post.count()
     # stats collected ONCE to a literal frame — a lazy corpus_stats
@@ -368,6 +373,34 @@ def main() -> None:
     extras["bm25_100q_200kdocs"] = t_bm
     extra_steals["bm25_100q_200kdocs"] = s_bm
     post.unpersist()
+
+    # n-gram LM perplexity scoring (round-5 curation signal): trigram
+    # add-k LM trained ONCE on the same ~200k-doc corpus (write-once,
+    # persisted before timing), then EVERY doc scored — two hash
+    # equi-joins + a per-doc aggregate.  The testdata vocabulary is tiny
+    # so the LM table itself is small; what this row measures is the
+    # doc-side gram explode + join + aggregate throughput, the part
+    # that repeats at scale (the LM deliberately stays on the default
+    # shuffle-join path, not the broadcast knob a 31-term vocab would
+    # permit, so the timed plan is the 100 TB-shaped one).
+    from osmspark.operators.ngram_lm import score_perplexity, train_ngram_lm
+
+    lm_counts, lm_V = train_ngram_lm(big_docs, n=3)
+    lm_counts = lm_counts.persist()
+    lm_counts.count()
+
+    def q_ngram_ppl():
+        return (
+            score_perplexity(big_docs, lm_counts, lm_V, n=3)
+            .agg(F.sum("lm_ngrams")).collect()[0][0]
+        )
+
+    q_ngram_ppl()  # warm
+    _, t_lm, s_lm = best_of(q_ngram_ppl)
+    extras["ngram_ppl_200kdocs"] = t_lm
+    extra_steals["ngram_ppl_200kdocs"] = s_lm
+    lm_counts.unpersist()
+    big_docs.unpersist()
 
     # adaptive PIP join over a MIXED-SIZE dim (the round-4 continent path):
     # the km-scale zip/admin grid PLUS an Antarctica-style polar cap and a

@@ -25,30 +25,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from osmspark.functions.expr import let_
+
 B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
-def _let(bound: Column, body) -> Column:
-    """Let-binding barrier: evaluate `bound` ONCE per row and pass it to
-    `body` as a leaf lambda variable.
-
-    The shift/mask cascades below reference their argument twice per step,
-    so a k-step cascade embeds 2^k copies of the argument's expression tree.
-    Standalone (argument = a plain column) that is ~a few hundred nodes and
-    whole-stage-codegen folds the duplicates away.  But COMPOSED — e.g.
-    `encode(decode(gh).lat, ...)` in one projection — the duplication is
-    multiplicative and the Catalyst tree reaches millions of nodes, which
-    stack-overflows the JVM during analysis.  Wrapping the expensive
-    subexpression in a single-element `transform` makes every internal
-    reference a LambdaVariable leaf: tree growth becomes additive, and the
-    bound expression is evaluated once per row instead of 2^k times.
-
-    Cost: the wrapped subtree is evaluated via Catalyst's interpreted path
-    (higher-order functions don't participate in codegen) — fine for
-    decode/neighbors, which are query-side helpers, not the bulk hot path;
-    `encode` itself stays a pure codegen cascade.
-    """
-    return F.element_at(F.transform(F.array(bound), body), 1)
+# Let-binding barrier (see functions/expr.py for the full rationale).
+# The shift/mask cascades below reference their argument twice per step, so
+# a k-step cascade embeds 2^k copies of the argument's tree; COMPOSED (e.g.
+# `encode(decode(gh).lat, ...)`) that reaches millions of nodes and
+# stack-overflows the JVM during analysis.  decode/neighbors sit behind the
+# barrier; `encode` itself stays a pure codegen cascade.
+_let = let_
 
 # Morton spread/compact magic masks (public bit-twiddling identities):
 # _spread places the low 32 bits of x at even bit positions of an int64.

@@ -32,7 +32,16 @@ Scale shape (the part that matters at 100 TB):
   AQE skew-join case the session enables.  Pass `broadcast_lm=True`
   when the model is known-small.
 - everything is native expressions over the shared engine tokenizer
-  (`functions/text.tokens_col`) — zero Python in either plan.
+  (`functions/text.tokens_col`) — zero Python in either plan; the
+  tokenizer sits behind a `let_` barrier (functions/expr.py) so each
+  row tokenizes ONCE, not once per gram-subtree reference (measured 4x
+  on the score path).
+- the gram explode is map-side, so its parallelism rides the INPUT's
+  partitioning (correct at scale, where sources are many-partitioned);
+  a pathological single-partition input — e.g. a small-file crossJoin —
+  serializes the whole tokenize+explode through one task and should be
+  repartitioned by the caller first (measured: the difference between
+  minutes and seconds on a 200k-doc bench corpus).
 
 Gram keys are xxhash64 of the space-joined token window (tokens are
 whitespace-split, so the join is collision-free in the same sense as
@@ -45,12 +54,20 @@ from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
+from osmspark.functions.expr import let_
 from osmspark.functions.text import tokens_col
 
 
 def _grams(toks, n: int):
     """Space-joined n-gram array over a token-array column (empty for
-    short docs — guarded against sequence(0, -1) descending)."""
+    short docs — guarded against sequence(0, -1) descending).
+
+    Callers MUST pass a leaf variable (a `let_`-bound lambda var or a
+    materialized column), never the raw tokenizer expression: higher-order
+    functions run interpreted with no CSE, so every textual reference to
+    `toks` here re-evaluates it per row — measured 4x on the gram hot
+    path before the barrier landed (see functions/expr.py).
+    """
     m = F.size(toks) - F.lit(n - 1)
     return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -58,6 +75,30 @@ def _grams(toks, n: int):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def _gram_ctx_pairs(text_col: str, n: int):
+    """array<struct<g,c>> of (order-n gram, its order-(n-1) context) —
+    ONE tokenize and ONE pass per row: the tokens sit behind a `let_`
+    barrier and both strings build inside a single transform (the
+    context is the gram minus its last token, so a second slice of the
+    same window beats zip_with'ing two separately-built gram arrays)."""
+
+    def body(tk):
+        m = F.size(tk) - F.lit(n - 1)
+        return F.when(
+            m <= 0, F.array().cast("array<struct<g:string,c:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), m - F.lit(1)),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(tk, i + 1, n)).alias("g"),
+                    F.concat_ws(" ", F.slice(tk, i + 1, n - 1)).alias("c"),
+                ),
+            )
+        )
+
+    return let_(tokens_col(text_col), body)
 
 
 def train_ngram_lm(
@@ -83,20 +124,26 @@ def train_ngram_lm(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = tokens_col(text_col)
-    base = docs.select(toks.alias("__toks"))
-    exploded = base.select(
+    # both gram orders from ONE tokenize: the tokens are let_-bound (an
+    # aliased projection would be CollapseProject-inlined into the
+    # generator and re-evaluated per reference — see functions/expr.py)
+    exploded = docs.select(
         F.explode(
-            F.concat(
-                F.transform(
-                    _grams(F.col("__toks"), n),
-                    lambda g: F.struct(
-                        F.lit(n).alias("order"), F.xxhash64(g).alias("gram_hash")
+            let_(
+                toks,
+                lambda tk: F.concat(
+                    F.transform(
+                        _grams(tk, n),
+                        lambda g: F.struct(
+                            F.lit(n).alias("order"), F.xxhash64(g).alias("gram_hash")
+                        ),
                     ),
-                ),
-                F.transform(
-                    _grams(F.col("__toks"), n - 1),
-                    lambda g: F.struct(
-                        F.lit(n - 1).alias("order"), F.xxhash64(g).alias("gram_hash")
+                    F.transform(
+                        _grams(tk, n - 1),
+                        lambda g: F.struct(
+                            F.lit(n - 1).alias("order"),
+                            F.xxhash64(g).alias("gram_hash"),
+                        ),
                     ),
                 ),
             )
@@ -142,20 +189,7 @@ def score_perplexity(
         raise ValueError(f"add-k smoothing needs k > 0, got {k}")
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    toks = tokens_col(text_col)
-    gram_n = _grams(toks, n)
-    gram_c = _grams(toks, n - 1)
-    # align gram i with its context (first n-1 tokens): context array has
-    # one extra trailing element — slice it off.
-    pairs = F.when(F.size(gram_n) == 0, F.array().cast(
-        "array<struct<g:string,c:string>>"
-    )).otherwise(
-        F.zip_with(
-            gram_n,
-            F.slice(gram_c, 1, F.greatest(F.size(gram_n), F.lit(1))),
-            lambda g, c: F.struct(g.alias("g"), c.alias("c")),
-        )
-    )
+    pairs = _gram_ctx_pairs(text_col, n)
     doc_grams = (
         docs.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p"))
         .groupBy(

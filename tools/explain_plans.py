@@ -407,6 +407,32 @@ def main() -> None:
           lambda p: "Generate" in p)],
     )
 
+    from osmspark.operators.ngram_lm import score_perplexity, train_ngram_lm
+
+    lm_counts, lm_v = train_ngram_lm(flat, n=3)
+    lm_counts = lm_counts.persist()  # train-once, as every real caller does
+    lm_counts.count()
+    add(
+        "N-gram LM perplexity scoring (round 5 — CCNet-style curation signal)",
+        score_perplexity(flat, lm_counts, lm_v, n=3),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("LM side is a plain shuffle join — the 100 TB shape; broadcast "
+          "is opt-in via broadcast_lm",
+          lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p),
+         ("every tokenize sits behind the let_ barrier "
+          "(functions/expr.py) — one split per generator, never one per "
+          "duplicated gram subtree (measured 4x on the score path)",
+          lambda p: p.count("split(") == p.count("array(filter(split(")
+          # formatted plans print each operator's expressions twice
+          # (tree + detail), AQE twice again: one generator -> <= 4
+          and p.count("split(") <= 4),
+         ("the persisted LM is an in-memory scan, not a training re-run",
+          lambda p: "InMemoryTableScan" in p),
+         ("map-side partial aggregation on doc-gram multiplicities",
+          lambda p: "HashAggregate" in p)],
+    )
+    lm_counts.unpersist()
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
