@@ -328,17 +328,20 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 # --- exact n-gram Jaccard (verification metric / oracle-friendly) ----------
 
 
-def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
-                    id_col: str = "doc_id", max_iter: int = 20,
-                    strict: bool = True) -> DataFrame:
-    """Near-dup pairs -> (doc_id, keeper): connected components by min-label
-    propagation WITH pointer doubling (each round every node adopts
-    min(own label, neighborhood min, label-of-its-label)) — the label-
-    reference chains halve each round, so convergence is O(log diameter),
-    not O(diameter): max_iter=20 covers components of diameter ~2^20.
-    Keeper = min id per component; docs in no pair keep themselves.
-    Distributed: each round is one groupBy-min + two joins, with
-    localCheckpoint to cut the lineage.
+def min_label_components(pairs: DataFrame, max_iter: int = 20,
+                         strict: bool = True,
+                         _caller: str = "min_label_components") -> DataFrame:
+    """Undirected edges (a, b) -> (node, label): connected components by
+    min-label propagation WITH pointer doubling (each round every node
+    adopts min(own label, neighborhood min, label-of-its-label)) — the
+    label-reference chains halve each round, so convergence is
+    O(log diameter), not O(diameter): max_iter=20 covers components of
+    diameter ~2^20.  Label = min node id per component.  Only nodes that
+    appear in at least one edge are returned.  Distributed: each round is
+    one groupBy-min + two joins, with localCheckpoint to cut the lineage.
+
+    Shared component engine: `dedup_keep_list` (near-dup keeper election)
+    and `cluster.dbscan` (core-point cluster ids) both run on this.
 
     Non-convergence within max_iter raises (strict=True, default) or prints
     a loud warning — never silently returns split components (round-1
@@ -390,11 +393,23 @@ def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
             converged = True
             break
     if not converged:
-        msg = (f"dedup_keep_list did NOT converge in {max_iter} rounds; "
-               f"components would be split into multiple keepers")
+        msg = (f"{_caller} did NOT converge in {max_iter} rounds; "
+               f"components would be split")
         if strict:
             raise RuntimeError(msg)
         print(f"WARNING: {msg}")
+    return labels
+
+
+def dedup_keep_list(pairs: DataFrame, docs: DataFrame,
+                    id_col: str = "doc_id", max_iter: int = 20,
+                    strict: bool = True) -> DataFrame:
+    """Near-dup pairs -> (doc_id, keeper): connected components via
+    `min_label_components` (min-label propagation + pointer doubling,
+    O(log diameter) rounds).  Keeper = min id per component; docs in no
+    pair keep themselves."""
+    labels = min_label_components(pairs, max_iter=max_iter, strict=strict,
+                                  _caller="dedup_keep_list")
     return (
         docs.select(F.col(id_col))
         .join(labels, docs[id_col] == labels["node"], "left")
