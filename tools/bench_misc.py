@@ -174,6 +174,45 @@ def main() -> None:
     ovl_big = polygon_intersect_join(gab, gbb, res=9)
     bench("overlay_100k_x_100k_polys", lambda: ovl_big.count(), best_of=1)
 
+    # DBSCAN at corpus scale: 200k points in ~2000 deterministic blobs
+    # (native xxhash64 generation — each point sees ~20 eps-neighbors, the
+    # classic density-clustering workload).  dbscan() runs driver-side
+    # rounds internally (pairs localCheckpoint + component iterations), so
+    # like the pyramid the honest timing rebuilds the whole pipeline per
+    # call.
+    from osmspark.operators.cluster import dbscan
+
+    def _u(h, salt, mod=999_983):
+        return F.pmod(F.xxhash64(h + F.lit(salt)), F.lit(mod)) / F.lit(
+            float(mod))
+
+    blob = F.col("id") % 2000
+    pts_blob = spark.range(200_000).select(
+        F.col("id"),
+        (F.lit(1.0) + _u(blob, 0) * F.lit(0.5)
+         + (_u(F.col("id"), 7) - F.lit(0.5)) * F.lit(0.002)).alias("lat"),
+        (F.lit(103.5) + _u(blob, 1_000_000) * F.lit(0.6)
+         + (_u(F.col("id"), 13) - F.lit(0.5)) * F.lit(0.002)).alias("lon"),
+    ).persist()
+    pts_blob.count()
+    bench("dbscan_200k_pts_60m",
+          lambda: dbscan(pts_blob, 60.0, 5).count())
+
+    # SemDeDup scan: 200k x 64 vectors through 64 pre-trained centroids
+    # (training timed apart — the matrix is shared with the IVF index in
+    # a real pipeline); the greedy per-cluster GEMM pass is the row
+    from osmspark.operators.semdedup import semantic_dedup
+    from osmspark.operators.similarity import train_centroids
+
+    vecs200 = gen_vectors(spark, 200_000, 64).persist()
+    vecs200.count()
+    t0 = time.time()
+    cents = train_centroids(vecs200, n_centroids=64, iters=2)
+    results["semdedup_train_64c_2it"] = round(time.time() - t0, 3)
+    steals["semdedup_train_64c_2it"] = -1.0  # single-shot, untimed steal
+    sd_df = semantic_dedup(vecs200, 0.35, centroids=cents)
+    bench("semdedup_200k_x64_k64", lambda: sd_df.count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count
