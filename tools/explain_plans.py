@@ -433,6 +433,54 @@ def main() -> None:
     )
     lm_counts.unpersist()
 
+    from osmspark.operators.cluster import dbscan
+
+    add(
+        "Grid DBSCAN (round 5 — radius self-join + shared components)",
+        dbscan(nodes.select("id", "lat", "lon"), 500.0, 4),
+        [("the eps graph is materialized ONCE and read back for its three "
+          "consumers (ExistingRDD scan of the localCheckpoint)",
+          lambda p: "ExistingRDD" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p),
+         ("no cartesian anywhere",
+          lambda p: "CartesianProduct" not in p),
+         ("border assignment is one equi-join + min HashAggregate",
+          lambda p: "HashAggregate" in p)],
+    )
+
+    from osmspark.operators.semdedup import semantic_dedup
+    from osmspark.operators.similarity import train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sd_cents = train_centroids(emb, n_centroids=8, iters=1)
+    add(
+        "SemDeDup greedy scan (round 5 — per-cluster GEMM dedup)",
+        semantic_dedup(emb, 0.35, centroids=sd_cents),
+        [("one Arrow assignment pass, then ONE grouped-pandas GEMM stage",
+          lambda p: "FlatMapGroupsInPandas" in p
+          and p.count("+- ArrowEvalPython") <= 2),
+         ("the shuffle key is cid — clusters are the unit of parallelism",
+          lambda p: "hashpartitioning(cid" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
+    from osmspark.operators.dedup import decontaminate_bloom
+
+    add(
+        "Bloom-filtered decontamination (round 5 — exact, sketch-pruned)",
+        decontaminate_bloom(flat, flat.where(F.col("doc_id") % 7 == 0),
+                            n=3, threshold=0.3),
+        [("the one-row sketch carrier is a BroadcastNestedLoopJoin "
+          "(array reference per partition, never a lit() tree)",
+          lambda p: "BroadcastNestedLoopJoin" in p),
+         ("probe is pure codegen — ZERO Python in the whole plan",
+          lambda p: "EvalPython" not in p),
+         ("survivors verify through a real shuffle join on the hash key "
+          "(the un-broadcast benchmark side)",
+          lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+          or "hashpartitioning(__h" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
