@@ -121,6 +121,39 @@ def test_keep_list_deep_chain(spark):
     assert got == {i: 0 for i in range(60)}
 
 
+def test_components_contracted_equals_plain(spark):
+    """The star pre-contraction path (contract=True, default) must produce
+    EXACTLY the same (node, label) frame as the plain iterated path on a
+    mixed graph: dense blobs (the shape contraction targets), long chains,
+    2-node components (whole star contracts away — exercises the isolated-
+    rep coalesce), and an asymmetric star."""
+    import random
+
+    rng = random.Random(71)
+    edges = []
+    # three dense blobs of 30 around a non-min hub
+    for base in (1000, 2000, 3000):
+        members = [base + i for i in range(30)]
+        hub = members[7]
+        edges += [(hub, m) for m in members if m != hub]
+        edges += [(rng.choice(members), rng.choice(members))
+                  for _ in range(40)]
+    # one 25-node chain
+    edges += [(5000 + i, 5000 + i + 1) for i in range(24)]
+    # five 2-node components
+    edges += [(7000 + 2 * i, 7000 + 2 * i + 1) for i in range(5)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "a long, b long")
+    plain = {(r["node"], r["label"]) for r in
+             dedup.min_label_components(pairs, contract=False).collect()}
+    contracted = {(r["node"], r["label"]) for r in
+                  dedup.min_label_components(pairs, contract=True).collect()}
+    assert contracted == plain
+    # and the labels are genuinely the component mins
+    assert (1000, 1000) in plain and (1029, 1000) in plain
+    assert (5024, 5000) in plain and (7009, 7008) in plain
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
