@@ -301,3 +301,83 @@ def gen_vectors(spark: SparkSession, n: int, dim: int = 64,
         ),
     )
     return ids.select("vec_id", vec.alias("embedding"))
+
+
+_URL_DOMAINS = [
+    # Zipf-ish head: index 0 is the hot domain (~30% of URLs) — the
+    # web-crawl skew knob for domain_stats' map-side-combine story
+    "bigportal.com", "news.co.uk", "forum.example.org", "shop.com.sg",
+    "blog.net", "wiki.org", "media.com.au", "docs.io", "mail.co.jp",
+    "maps.example.com",
+]
+_URL_WORDS = ["page", "item", "post", "article", "thread", "view", "user",
+              "tag", "archive", "search"]
+
+
+def gen_url_corpus(spark: SparkSession, n_docs: int,
+                   partitions: int | None = None) -> DataFrame:
+    """Deterministic (doc_id, text) corpus where text is prose with 0-4
+    embedded URLs — NATIVE generation (xxhash64 choices folded through
+    transform/concat), reproducible regardless of partitioning.  URLs mix
+    plain hosts, subdomains (exercises registered-domain folding), ports,
+    query strings, two-level public suffixes, and trailing sentence
+    punctuation (exercises the extractor's strip rule); ~10% of docs have
+    no URL at all."""
+    ids = spark.range(0, n_docs, numPartitions=partitions).select(
+        F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+
+    def _h(salt, mod):
+        return F.pmod(F.xxhash64(d, F.lit(salt)), F.lit(mod))
+
+    doms = _lit_array(_URL_DOMAINS)
+    words = _lit_array(_URL_WORDS)
+    n_urls = F.when(_h(1, 10) == 0, F.lit(0)).otherwise(_h(2, 4) + 1)
+    urls = F.transform(
+        F.sequence(F.lit(1), n_urls),
+        lambda k: F.concat(
+            F.when(F.pmod(F.xxhash64(d, k, F.lit(3)), F.lit(5)) == 0,
+                   F.lit("http://")).otherwise(F.lit("https://")),
+            # hot-domain skew: slot 0 with prob ~0.3, else uniform
+            F.when(F.pmod(F.xxhash64(d, k, F.lit(4)), F.lit(10)) < 3,
+                   F.element_at(doms, 1)).otherwise(
+                F.element_at(
+                    doms,
+                    (F.pmod(F.xxhash64(d, k, F.lit(5)),
+                            F.lit(len(_URL_DOMAINS))) + 1).cast("int"))),
+            F.when(F.pmod(F.xxhash64(d, k, F.lit(6)), F.lit(4)) == 0,
+                   F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/"),
+            F.element_at(
+                words,
+                (F.pmod(F.xxhash64(d, k, F.lit(7)),
+                        F.lit(len(_URL_WORDS))) + 1).cast("int")),
+            F.lit("/"),
+            F.pmod(F.xxhash64(d, k, F.lit(8)), F.lit(1000)).cast("string"),
+            F.when(F.pmod(F.xxhash64(d, k, F.lit(9)), F.lit(3)) == 0,
+                   F.lit("?ref=feed")).otherwise(F.lit("")),
+        ),
+    )
+    # subdomain variant: prepend www./cdn. to ~25% of URLs post-hoc is
+    # awkward inside one transform; instead fold it into the host pick by
+    # rewriting a second pass over the array
+    urls = F.transform(
+        urls,
+        lambda u, i: F.when(
+            F.pmod(F.xxhash64(d, i, F.lit(10)), F.lit(4)) == 0,
+            F.regexp_replace(u, "://", "://www."),
+        ).otherwise(u),
+    )
+    prose = F.concat_ws(
+        " ",
+        F.lit("see"),
+        F.concat_ws(" , ", F.transform(
+            urls, lambda u, i: F.when(
+                F.pmod(F.xxhash64(d, i, F.lit(11)), F.lit(3)) == 0,
+                F.concat(u, F.lit(".")),   # trailing punctuation case
+            ).otherwise(u))),
+        F.lit("for details"),
+    )
+    return ids.select(
+        d, F.when(n_urls == 0, F.lit("no links here at all"))
+        .otherwise(prose).alias("text"))

@@ -213,6 +213,18 @@ def main() -> None:
     sd_df = semantic_dedup(vecs200, 0.35, centroids=cents)
     bench("semdedup_200k_x64_k64", lambda: sd_df.count())
 
+    # URL domain stats at 2M docs (~4.5M URLs): exact multi-distinct
+    # (Expand + two exchanges) vs HLL-sketch (one exchange) A/B
+    from osmspark.datagen import gen_url_corpus
+    from osmspark.operators.urlstats import domain_stats
+
+    url2m = gen_url_corpus(spark, 2_000_000).persist()
+    url2m.count()
+    ds_exact = domain_stats(url2m, exact=True)
+    ds_hll = domain_stats(url2m, exact=False)
+    bench("domain_stats_exact_2m_docs", lambda: ds_exact.count())
+    bench("domain_stats_hll_2m_docs", lambda: ds_hll.count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count

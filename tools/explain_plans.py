@@ -481,6 +481,40 @@ def main() -> None:
           or "hashpartitioning(__h" in p)],
     )
 
+    from osmspark.datagen import gen_url_corpus
+    from osmspark.operators.urlstats import domain_stats, filter_by_domain
+
+    url_docs = gen_url_corpus(spark, 2000)
+    add(
+        "URL domain stats, exact distincts (round 5 — C4-style "
+        "provenance signal)",
+        domain_stats(url_docs, exact=True),
+        [("multi-distinct plans as Expand + two domain-keyed exchanges "
+          "(the documented exact-path cost — raw URL rows never shuffle "
+          "unaggregated)",
+          lambda p: "Expand" in p),
+         ("zero Python anywhere", lambda p: "EvalPython" not in p),
+         ("partial+final aggregate (hot-domain skew absorbed map-side)",
+          lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p)],
+    )
+    add(
+        "URL domain stats, HLL sketches (round 5 — the web-scale path)",
+        domain_stats(url_docs, exact=False),
+        [("no Expand; ONE exchange total — sketches merge map-side",
+          lambda p: "Expand" not in p),
+         ("zero Python anywhere", lambda p: "EvalPython" not in p)],
+    )
+    add(
+        "Domain block-list gate (round 5)",
+        filter_by_domain(
+            url_docs,
+            spark.createDataFrame([("blog.net",)],
+                                  "registered_domain string")),
+        [("the list side is broadcast",
+          lambda p: "BroadcastHashJoin" in p),
+         ("zero Python anywhere", lambda p: "EvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
