@@ -515,6 +515,22 @@ def main() -> None:
          ("zero Python anywhere", lambda p: "EvalPython" not in p)],
     )
 
+    from osmspark.operators.sampling import weighted_sample
+
+    add(
+        "Weighted sampling, Efraimidis-Spirakis (round 5)",
+        weighted_sample(
+            url_docs.select("doc_id",
+                            (F.length("text") + 1.0).alias("w")),
+            100, "w"),
+        [("global top-k compiles to TakeOrderedAndProject — per-partition "
+          "heaps, no global sort, no corpus shuffle",
+          lambda p: "TakeOrderedAndProject" in p),
+         ("no full Sort node anywhere",
+          lambda p: "Sort " not in p.split("== Initial Plan ==")[0]),
+         ("zero Python anywhere", lambda p: "EvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
