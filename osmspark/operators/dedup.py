@@ -423,6 +423,11 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
             .limit(1)
             .count()
         )
+        # release the superseded round's checkpoint blocks (new_labels is
+        # eagerly materialized with truncated lineage) — otherwise up to
+        # max_iter label frames pin executor storage; round 1's un-
+        # persisted seed frame makes this a no-op
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -48,7 +48,6 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     (observed on the 100k-node bench before this rule)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    spark = edges.sparkSession
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
@@ -71,7 +70,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
 
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], "node string, rank double")
+        # empty frame with the INPUT's node type (a hardcoded string
+        # schema would make the empty case union/join-incompatible with
+        # every non-empty result)
+        if stats_out is not None:
+            stats_out["rounds"] = 0
+            stats_out["converged"] = True
+        return nodes.withColumn("rank", F.lit(1.0))
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -110,6 +115,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             )
             .collect()[0]
         )
+        # release the superseded round's checkpoint blocks — new_ranks is
+        # already materialized (eager) with truncated lineage, so the old
+        # blocks are unreachable; without this up to max_iter rank
+        # vectors pin executor storage
+        ranks.unpersist()
         ranks = new_ranks
         d_mass = float(stats["dm"] or 0.0)
         if float(stats["d"]) <= tol / n:
@@ -135,13 +145,18 @@ def domain_authority(docs: DataFrame, text_col: str = "text",
     every URL in its text (self-links dropped).  The whole-corpus
     extraction is map-side; the graph that iterates is domain-level —
     tiny relative to the corpus."""
-    from .urlstats import extract_urls, url_parts
+    from .urlstats import extract_urls, registered_domain_col, url_parts
 
     # the source domain rides as the extraction id — (src, url) pairs
-    # come out of the one map-side pass, no row-id bookkeeping
+    # come out of the one map-side pass, no row-id bookkeeping.  The src
+    # side folds through the SAME registered-domain rule as the URL dst
+    # side: otherwise 'www.site.com' (src) and 'site.com' (dst) split one
+    # site into two graph nodes and the self-link drop stops working.
     parts = url_parts(extract_urls(
-        docs.select(F.lower(F.col(source_domain_col)).alias("__src"),
-                    F.col(text_col)),
+        docs.select(
+            registered_domain_col(
+                F.lower(F.col(source_domain_col))).alias("__src"),
+            F.col(text_col)),
         text_col=text_col, id_col="__src"))
     edges = (
         parts.where(F.col("registered_domain").isNotNull())

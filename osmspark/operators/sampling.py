@@ -31,18 +31,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_M = 1 << 20
+_M = 1 << 52  # 52 hash bits -> u ties are ~2^-52: at any realistic k the
+# id-ascending tiebreak never decides a selection boundary (a coarse u
+# would resolve boundary ties by doc_id, systematically biasing the
+# sample toward early documents)
 
 
 def es_key_col(weight_col: str, id_col: str = "doc_id",
                seed: int = 42):
     """The Efraimidis-Spirakis ranking key ln(u)/w as a Column, with
-    u = (xxhash64(id, seed) mod 2^20 + 0.5) / 2^20 in (0, 1).  NULL or
-    non-positive weights raise executor-side (loud-guard convention —
-    a silent drop would skew the sample, a NULL key would sort
-    nondeterministically)."""
+    u = ((xxhash64(id, seed) >>> 12) + 0.5) / 2^52 in (0, 1) — the top
+    52 hash bits, exactly a double mantissa.  NULL or non-positive
+    weights raise executor-side (loud-guard convention — a silent drop
+    would skew the sample, a NULL key would sort nondeterministically)."""
     w = F.col(weight_col).cast("double")
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_M))
+    u = (F.shiftrightunsigned(
+            F.xxhash64(F.col(id_col), F.lit(seed)), 12)
          + F.lit(0.5)) / F.lit(float(_M))
     return F.when(
         w.isNull() | (w <= 0),
@@ -95,8 +99,17 @@ def temperature_weights(counts: DataFrame, count_col: str = "n",
     broadcast single-row cross join — no window over the whole table."""
     if tau <= 0:
         raise ValueError(f"tau must be positive, got {tau}")
-    powed = counts.withColumn(
-        "__pw", F.pow(F.col(count_col).cast("double"), F.lit(1.0 / tau)))
+    n = F.col(count_col).cast("double")
+    # loud guard (es_key_col convention): a NULL/negative count would
+    # silently NaN the total and every stratum's weight
+    guarded = F.when(
+        n.isNull() | (n < 0),
+        F.raise_error(F.concat(
+            F.lit(f"temperature_weights: count {count_col!r} must be "
+                  ">= 0, got "),
+            F.coalesce(n.cast("string"), F.lit("NULL")))),
+    ).otherwise(n)
+    powed = counts.withColumn("__pw", F.pow(guarded, F.lit(1.0 / tau)))
     total = powed.agg(F.sum("__pw").alias("__tot"))
     return (
         powed.crossJoin(F.broadcast(total))

@@ -57,6 +57,29 @@ def extract_urls(docs: DataFrame, text_col: str = "text",
     ).withColumn("url", F.regexp_replace("url", _TRAIL_PUNCT, ""))
 
 
+def registered_domain_col(host):
+    """Registered domain of an (already-lowercased) host Column — the
+    last two labels, or three when the last two are a listed two-level
+    public suffix; IPv4 and single-label hosts pass through whole; NULL
+    host -> NULL.  Shared by `url_parts` (URL dst side) and
+    `pagerank.domain_authority` (source-domain side) so both endpoints
+    of a link edge fold identically — an unfolded src ('www.site.com')
+    against a folded dst ('site.com') would split one site into two
+    graph nodes."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    suffix_set = F.array(*[F.lit(s) for s in TWO_LEVEL_SUFFIXES])
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (n <= 1), host)
+        .when((n >= 3) & F.array_contains(suffix_set, last2), last3)
+        .otherwise(last2)
+    )
+
+
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append protocol / host / registered_domain / tld / path_depth /
     has_query columns.  Host is lowercased (normalization contract —
@@ -68,17 +91,8 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     path = F.parse_url(u, F.lit("PATH"))
     labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
-    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
     is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    suffix_set = F.array(*[F.lit(s) for s in TWO_LEVEL_SUFFIXES])
-    registered = (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (n <= 1), host)
-        .when((n >= 3) & F.array_contains(suffix_set, last2), last3)
-        .otherwise(last2)
-    )
+    registered = registered_domain_col(host)
     tld = F.when(is_ip, F.lit(None).cast("string")).otherwise(
         F.element_at(labels, -1))
     path_depth = F.size(

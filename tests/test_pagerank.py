@@ -108,3 +108,24 @@ def test_domain_authority_composition(spark):
     assert set(got) == {"site1.com", "site2.com", "site3.com", "hub.com"}
     assert got["hub.com"] == max(got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_domain_authority_src_folds_like_dst(spark):
+    """A source_domain with a subdomain ('www.site1.com', 'blog.hub.com')
+    must fold to the same registered-domain node its inbound links use —
+    otherwise one site splits into two graph nodes and the self-link
+    drop stops working (round-5 review finding)."""
+    docs = spark.createDataFrame(
+        [
+            ("www.site1.com", "self https://site1.com/me and "
+                              "out https://hub.com/a"),
+            ("blog.hub.com", "back to https://www.site1.com/y"),
+        ],
+        "source_domain string, text string",
+    )
+    got = {r["node"]: r["rank"] for r in domain_authority(docs).collect()}
+    # exactly two folded nodes; the www/blog variants never appear, and
+    # the site1->site1 self-link was dropped (else site1 would hoard rank)
+    assert set(got) == {"site1.com", "hub.com"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert abs(got["site1.com"] - got["hub.com"]) < 1e-9  # symmetric 2-cycle

@@ -16,7 +16,7 @@ from osmspark.operators.sampling import (
     weighted_stratified_sample,
 )
 
-_M = 1 << 20
+_M = 1 << 52  # mirrors es_key_col: u = top 52 unsigned hash bits
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +41,7 @@ def test_selection_matches_python_oracle(spark, corpus):
     weights = {r["doc_id"]: r["w"] for r in corpus.collect()}
 
     def key(i):
-        u = ((hashes[i] % _M + _M) % _M + 0.5) / _M
+        u = (((hashes[i] & 0xFFFFFFFFFFFFFFFF) >> 12) + 0.5) / _M
         return math.log(u) / weights[i]
 
     exp = sorted(hashes, key=lambda i: (-key(i), i))[:150]

@@ -20,11 +20,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def _steal():
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+from benchlib import steal_jiffies as _steal  # noqa: E402
 
 
 def main() -> None:
