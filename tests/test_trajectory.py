@@ -134,3 +134,98 @@ def test_plan_shape(spark):
         .executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- route similarity -------------------------------------------------------
+
+
+def test_route_cell_text_collapses_and_orders(spark):
+    """A dwell (repeated same point) contributes ONE token; tokens follow
+    timestamp order regardless of input row order."""
+    rows = [
+        (1, 3.0, 1.3002, 103.8002),   # deliberately out of ts order
+        (1, 0.0, 1.3000, 103.8000),
+        (1, 1.0, 1.3000, 103.8000),   # dwell: same point again
+        (1, 2.0, 1.3001, 103.8001),
+        (1, 4.0, 1.3000, 103.8000),   # revisit AFTER moving — kept
+    ]
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts double, lat double, lon double")
+    txt = tj.route_cell_text(df, res=13).collect()
+    assert len(txt) == 1
+    toks = txt[0]["text"].split(" ")
+    # the two t=0,1 dwell points collapse; the t=4 revisit survives
+    # (consecutive-only dedup), so token count is 4 and tok0 == tok3
+    # unless res-13 cells merge neighbors (they don't at ~10 m pitch)
+    assert len(toks) == 4
+    assert toks[0] == toks[3]
+    assert toks[0] != toks[1]
+
+
+def test_route_near_dup_pairs_composition(spark):
+    """Same route jittered ~1 m pairs up; a different area does not; the
+    REVERSED route shares cells but not bigrams and stays unpaired."""
+    base = [(1.30 + 0.001 * i, 103.80 + 0.0015 * i) for i in range(25)]
+    rows = []
+    for i, (la, lo) in enumerate(base):
+        rows.append((10, float(i), la, lo))                 # route A
+        rows.append((11, float(i), la + 1e-5, lo - 1e-5))   # A jittered
+        rows.append((12, float(i), la + 0.5, lo + 0.5))     # elsewhere
+    for i, (la, lo) in enumerate(reversed(base)):
+        rows.append((13, float(i), la, lo))                 # A reversed
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts double, lat double, lon double")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           tj.route_near_dup_pairs(df, jaccard_threshold=0.5,
+                                   res=9).collect()}
+    assert (10, 11) in got and got[(10, 11)] > 0.8
+    assert all({a, b} == {10, 11} for a, b in got)
+
+
+def test_hausdorff_matches_python_oracle(spark):
+    import random
+
+    rng = random.Random(5)
+    rows, trajs = [], {}
+    for t in range(6):
+        pts = [(1.3 + rng.random() * 0.01, 103.8 + rng.random() * 0.01)
+               for _ in range(rng.randint(3, 12))]
+        trajs[t] = pts
+        rows += [(t, float(i), la, lo) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts double, lat double, lon double")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "a long, b long")
+
+    def oracle(pa, pb, hav):
+        def d(p, q):
+            if hav:
+                return float(haversine_np(
+                    np.array([p[0]]), np.array([p[1]]),
+                    np.array([q[0]]), np.array([q[1]]))[0])
+            return ((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2) ** 0.5
+
+        ab = max(min(d(p, q) for q in pb) for p in pa)
+        ba = max(min(d(p, q) for q in pa) for p in pb)
+        return max(ab, ba)
+
+    for metric in ("haversine", "sq_deg"):
+        got = {(r["a"], r["b"]): r["hausdorff"] for r in
+               tj.hausdorff_pairs(df, pairs, metric=metric).collect()}
+        assert len(got) == 15
+        for (a, b), h in got.items():
+            exp = oracle(trajs[a], trajs[b], metric == "haversine")
+            assert abs(h - exp) < 1e-9 * max(1.0, exp)
+
+
+def test_hausdorff_guard_and_metric(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.3, 103.8), (1, 1.0, 1.31, 103.81),
+         (2, 0.0, 1.3, 103.8)],
+        "traj_id long, ts double, lat double, lon double")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="metric"):
+        tj.hausdorff_pairs(df, pairs, metric="euclid")
+    with pytest.raises(Exception, match="max_traj_rows"):
+        tj.hausdorff_pairs(df, pairs, max_traj_rows=1).collect()
