@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_SQRT3_KDE = math.sqrt(3.0)
+
 
 def mercator_xy(lat, lon):
     """lat/lon Columns -> (mx, my) in [0,1)^2 Web-Mercator."""
@@ -302,3 +304,86 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
     for df in levels[1:]:
         out = out.unionByName(df)
     return out
+
+
+def kde_smooth(points: DataFrame, res: int, k: int = 2, sigma: float = 1.0,
+               lat: str = "lat", lon: str = "lon",
+               weight_col: str | None = None,
+               strict_seam: bool = True) -> DataFrame:
+    """(cell, density): hex-lattice Gaussian kernel density — each cell's
+    mass spreads over its k-ring with weight exp(-d^2 / (2 sigma^2))
+    (d = hex ring distance, sigma in CELL PITCHES), kernel normalized to
+    sum 1 so total mass is conserved exactly.
+
+    Plan shape: one cell assignment + ONE groupBy for the input counts,
+    then a LITERAL (1+3k(k+1))-element stencil explode — the neighbor id
+    is pure int arithmetic on the packed cell (q/r live in disjoint bit
+    fields, so cell + (dq<<28) + dr IS the neighbor) — and ONE final
+    groupBy(cell) sum.  Entirely whole-stage codegen; the convolution
+    never leaves the JVM.
+
+    Face-seam contract: neighbors are axial on the cell's own face (the
+    `kring` contract).  strict_seam=True (default) raises executor-side
+    when any occupied cell sits within the stencil's reach of its face
+    edge — silent cross-seam mass loss is the failure mode this engine
+    never ships; pass strict_seam=False to accept the documented leak
+    (mass addressed to off-face ids that nothing reads)."""
+    from ..functions.hexgrid import (_OFF, _res_frame, kring_offsets,
+                                     with_hex_cell)
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if sigma <= 0:
+        raise ValueError(f"sigma must be positive, got {sigma}")
+    w_in = (F.col(weight_col).cast("double") if weight_col
+            else F.lit(1.0))
+    cells = with_hex_cell(
+        points.select(F.col(lat).alias("lat"), F.col(lon).alias("lon"),
+                      w_in.alias("__w")),
+        res, out_col="cell",
+    ).groupBy("cell").agg(F.sum("__w").alias("__m"))
+
+    offs = kring_offsets(k)
+    dists = [(abs(dq) + abs(dr) + abs(dq + dr)) // 2 for dq, dr in offs]
+    raw = [math.exp(-(d * d) / (2.0 * sigma * sigma)) for d in dists]
+    tot = sum(raw)
+    stencil = F.array(*[
+        F.struct(F.lit((dq << 28) + dr).cast("long").alias("d"),
+                 F.lit(w / tot).alias("w"))
+        for (dq, dr), w in zip(offs, raw)
+    ])
+
+    if strict_seam:
+        radius, c, s = _res_frame(res)
+        q = ((F.shiftright("cell", 28).bitwiseAND(F.lit((1 << 28) - 1)))
+             - F.lit(_OFF)).cast("double")
+        r = (F.col("cell").bitwiseAND(F.lit((1 << 28) - 1))
+             - F.lit(_OFF)).cast("double")
+        xr = F.lit(radius) * (F.lit(_SQRT3_KDE) * q
+                              + F.lit(_SQRT3_KDE / 2.0) * r)
+        yr = F.lit(radius * 1.5) * r
+        x = xr * F.lit(c) - yr * F.lit(s)
+        y = xr * F.lit(s) + yr * F.lit(c)
+        # conservative reach: k+2 center pitches (pitch = sqrt(3)*radius)
+        margin = (k + 2) * _SQRT3_KDE * radius
+        near = (F.greatest(F.abs(x), F.abs(y)) > F.lit(1.0 - margin))
+        cells = cells.withColumn(
+            "__m",
+            F.when(near, F.raise_error(F.concat(
+                F.lit("kde_smooth: occupied cell within the stencil's "
+                      "reach of its face edge (cell="),
+                F.col("cell").cast("string"),
+                F.lit(") — cross-seam mass would silently leak; pass "
+                      "strict_seam=False to accept the documented leak"),
+            ))).otherwise(F.col("__m")))
+
+    sp = cells.select(
+        F.col("cell"), F.col("__m"),
+        F.explode(stencil).alias("__s"),
+    )
+    return (
+        sp.select((F.col("cell") + F.col("__s.d")).alias("cell"),
+                  (F.col("__m") * F.col("__s.w")).alias("__c"))
+        .groupBy("cell")
+        .agg(F.sum("__c").alias("density"))
+    )
