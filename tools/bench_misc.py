@@ -220,6 +220,41 @@ def main() -> None:
     bench("domain_stats_exact_2m_docs", lambda: ds_exact.count())
     bench("domain_stats_hll_2m_docs", lambda: ds_hll.count())
 
+    # hex KDE smoothing over the full node corpus: 2.4M points through a
+    # k=2 (19-cell) normalized stencil — the convolution is one literal
+    # explode + two groupBys, all codegen
+    from osmspark.operators.tiles import kde_smooth
+
+    kde_df = kde_smooth(nodes.select("lat", "lon"), res=8, k=2,
+                        sigma=1.2)
+    bench("kde_smooth_2p4m_pts_k2", lambda: kde_df.count())
+
+    # route near-dup: 2k synthetic trajectories (40 pts each; every 4th a
+    # jittered copy of its base route) through the cell-token text-dedup
+    # composition; timing rebuilds the whole pipeline per call (LSH +
+    # verify run driver-side actions internally)
+    from osmspark.operators.trajectory import route_near_dup_pairs
+
+    tbase = F.col("id") % 500
+    traj2k = spark.range(2_000 * 40).select(
+        (F.col("id") % 2_000).alias("traj_id"),
+        (F.floor(F.col("id") / 2_000)).cast("double").alias("ts"),
+        (F.lit(1.2) + F.pmod(F.xxhash64(tbase % 500), F.lit(997))
+         / F.lit(997.0) * F.lit(0.3)
+         + F.floor(F.col("id") / 2_000) * F.lit(0.001)
+         + (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100)) - F.lit(50))
+         * F.lit(2e-7)).alias("lat"),
+        (F.lit(103.6) + F.pmod(F.xxhash64(tbase % 500, F.lit(1)),
+                               F.lit(997)) / F.lit(997.0) * F.lit(0.4)
+         + F.floor(F.col("id") / 2_000) * F.lit(0.0015)
+         + (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100)) - F.lit(50))
+         * F.lit(2e-7)).alias("lon"),
+    ).persist()
+    traj2k.count()
+    bench("route_near_dup_2k_trajs",
+          lambda: route_near_dup_pairs(traj2k, jaccard_threshold=0.5,
+                                       res=9).count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count

@@ -531,6 +531,20 @@ def main() -> None:
          ("zero Python anywhere", lambda p: "EvalPython" not in p)],
     )
 
+    from osmspark.operators.tiles import kde_smooth
+
+    add(
+        "Hex KDE smoothing (round 5 — codegen stencil convolution)",
+        kde_smooth(nodes.select("lat", "lon"), res=8, k=2, sigma=1.2),
+        [("the 19-cell stencil is a literal-array explode (Generate), "
+          "neighbor ids pure int arithmetic",
+          lambda p: "Generate explode" in p or "Generate" in p),
+         ("zero Python anywhere — the convolution never leaves the JVM",
+          lambda p: "EvalPython" not in p),
+         ("two aggregates total (input counts + convolved sum)",
+          lambda p: "HashAggregate" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
