@@ -306,6 +306,39 @@ def cell_rollup_pyramid(points: DataFrame, fine_res: int, coarse_res: int,
     return out
 
 
+def _guard_face_seam(cells: DataFrame, res: int, reach_k: int,
+                     value_col: str, opname: str, consequence: str) -> DataFrame:
+    """Executor-side raise when any occupied cell sits within `reach_k`
+    cell pitches of its cube-face edge — the loud-guard convention for
+    the lattice-stencil operators, whose neighbor arithmetic is axial on
+    the cell's own face (kring contract).  Pure native expressions: the
+    cell's face xy is re-derived with shift/AND arithmetic."""
+    from ..functions.hexgrid import _OFF, _res_frame
+
+    radius, c, s = _res_frame(res)
+    q = ((F.shiftright("cell", 28).bitwiseAND(F.lit((1 << 28) - 1)))
+         - F.lit(_OFF)).cast("double")
+    r = (F.col("cell").bitwiseAND(F.lit((1 << 28) - 1))
+         - F.lit(_OFF)).cast("double")
+    xr = F.lit(radius) * (F.lit(_SQRT3_KDE) * q
+                          + F.lit(_SQRT3_KDE / 2.0) * r)
+    yr = F.lit(radius * 1.5) * r
+    x = xr * F.lit(c) - yr * F.lit(s)
+    y = xr * F.lit(s) + yr * F.lit(c)
+    # conservative reach: reach_k+2 center pitches (pitch = sqrt(3)*radius)
+    margin = (reach_k + 2) * _SQRT3_KDE * radius
+    near = (F.greatest(F.abs(x), F.abs(y)) > F.lit(1.0 - margin))
+    return cells.withColumn(
+        value_col,
+        F.when(near, F.raise_error(F.concat(
+            F.lit(f"{opname}: occupied cell within the stencil's "
+                  "reach of its face edge (cell="),
+            F.col("cell").cast("string"),
+            F.lit(f") — {consequence}; pass "
+                  "strict_seam=False to accept the documented leak"),
+        ))).otherwise(F.col(value_col)))
+
+
 def kde_smooth(points: DataFrame, res: int, k: int = 2, sigma: float = 1.0,
                lat: str = "lat", lon: str = "lon",
                weight_col: str | None = None,
@@ -328,8 +361,7 @@ def kde_smooth(points: DataFrame, res: int, k: int = 2, sigma: float = 1.0,
     edge — silent cross-seam mass loss is the failure mode this engine
     never ships; pass strict_seam=False to accept the documented leak
     (mass addressed to off-face ids that nothing reads)."""
-    from ..functions.hexgrid import (_OFF, _res_frame, kring_offsets,
-                                     with_hex_cell)
+    from ..functions.hexgrid import kring_offsets, with_hex_cell
 
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
@@ -354,28 +386,8 @@ def kde_smooth(points: DataFrame, res: int, k: int = 2, sigma: float = 1.0,
     ])
 
     if strict_seam:
-        radius, c, s = _res_frame(res)
-        q = ((F.shiftright("cell", 28).bitwiseAND(F.lit((1 << 28) - 1)))
-             - F.lit(_OFF)).cast("double")
-        r = (F.col("cell").bitwiseAND(F.lit((1 << 28) - 1))
-             - F.lit(_OFF)).cast("double")
-        xr = F.lit(radius) * (F.lit(_SQRT3_KDE) * q
-                              + F.lit(_SQRT3_KDE / 2.0) * r)
-        yr = F.lit(radius * 1.5) * r
-        x = xr * F.lit(c) - yr * F.lit(s)
-        y = xr * F.lit(s) + yr * F.lit(c)
-        # conservative reach: k+2 center pitches (pitch = sqrt(3)*radius)
-        margin = (k + 2) * _SQRT3_KDE * radius
-        near = (F.greatest(F.abs(x), F.abs(y)) > F.lit(1.0 - margin))
-        cells = cells.withColumn(
-            "__m",
-            F.when(near, F.raise_error(F.concat(
-                F.lit("kde_smooth: occupied cell within the stencil's "
-                      "reach of its face edge (cell="),
-                F.col("cell").cast("string"),
-                F.lit(") — cross-seam mass would silently leak; pass "
-                      "strict_seam=False to accept the documented leak"),
-            ))).otherwise(F.col("__m")))
+        cells = _guard_face_seam(cells, res, k, "__m", "kde_smooth",
+                                 "cross-seam mass would silently leak")
 
     sp = cells.select(
         F.col("cell"), F.col("__m"),
@@ -386,4 +398,92 @@ def kde_smooth(points: DataFrame, res: int, k: int = 2, sigma: float = 1.0,
                   (F.col("__m") * F.col("__s.w")).alias("__c"))
         .groupBy("cell")
         .agg(F.sum("__c").alias("density"))
+    )
+
+
+def gi_star(points: DataFrame, res: int, k: int = 1,
+            lat: str = "lat", lon: str = "lon",
+            value_col: str | None = None,
+            strict_seam: bool = True,
+            materialize: bool = True) -> DataFrame:
+    """(cell, x, w, wx, z): Getis-Ord Gi* hot-spot z-scores per hex cell
+    (Ord & Getis 1995, "Local spatial autocorrelation statistics") with
+    binary weights over the filled k-ring INCLUDING self — the Gi* (not
+    Gi) convention.
+
+        z_i = (wx_i - mean * w_i)
+              / (S * sqrt((n * w_i - w_i^2) / (n - 1)))
+
+    where x_i is the cell's point count (or sum of `value_col`), the
+    study set is the OCCUPIED cells (n of them; empty lattice cells are
+    not features — the standard feature-set semantics of hot-spot
+    tooling, documented rather than hidden), mean/S are the study set's
+    mean and population sd, w_i counts the occupied cells within the
+    k-ring of i (incl. i) and wx_i sums their x.  z is NULL where the
+    variance term degenerates (n <= 1, S == 0, or w_i == n).
+
+    Plan shape: ONE cell-assignment + groupBy for x_i; the neighborhood
+    sums reuse the kde stencil trick — a literal (1+3k(k+1))-element
+    explode whose neighbor id is plain int arithmetic on the packed
+    cell, then one groupBy — restricted to occupied receivers by an
+    inner self-join on cell (both sides exit hash-partitioned on cell);
+    the three global scalars broadcast as a one-row crossJoin.  Zero
+    Python anywhere.
+
+    materialize=True (default) localCheckpoints the per-cell aggregate
+    (cell-count-sized, thousands of rows) before it fans into the three
+    consumers — the cell_rollup_pyramid convention: without it the
+    point-scan aggregation re-executes once per consumer (ReuseExchange
+    does not dedupe it here, same finding as the pyramid's).
+
+    Face-seam contract: identical to `kde_smooth` — strict_seam=True
+    raises executor-side when an occupied cell sits within stencil reach
+    of its face edge; the lenient mode under-counts w_i at the seam."""
+    from ..functions.hexgrid import kring_offsets, with_hex_cell
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    x_in = (F.col(value_col).cast("double") if value_col else F.lit(1.0))
+    cells = with_hex_cell(
+        points.select(F.col(lat).alias("lat"), F.col(lon).alias("lon"),
+                      x_in.alias("__x")),
+        res, out_col="cell",
+    ).groupBy("cell").agg(F.sum("__x").alias("x"))
+    if strict_seam:
+        cells = _guard_face_seam(
+            cells, res, k, "x", "gi_star",
+            "cross-seam neighborhoods would silently under-count")
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+
+    stencil = F.array(*[
+        F.lit((dq << 28) + dr).cast("long")
+        for dq, dr in kring_offsets(k)
+    ])
+    nb = (
+        cells.select(
+            F.col("cell"), F.col("x").alias("__xj"),
+            F.explode(stencil).alias("__d"),
+        )
+        .select((F.col("cell") + F.col("__d")).alias("cell"), "__xj")
+        .groupBy("cell")
+        .agg(F.sum("__xj").alias("wx"), F.count("*").alias("w"))
+    )
+    stats = cells.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("x").alias("__mean"),
+        F.sqrt(F.avg(F.col("x") * F.col("x"))
+               - F.avg("x") * F.avg("x")).alias("__s"),
+    )
+    wd = F.col("w").cast("double")
+    var_term = (F.col("__n") * wd - wd * wd) / (F.col("__n") - F.lit(1.0))
+    z = F.when(
+        (F.col("__n") > 1) & (F.col("__s") > 0) & (var_term > 0),
+        (F.col("wx") - F.col("__mean") * wd)
+        / (F.col("__s") * F.sqrt(var_term)),
+    )
+    return (
+        cells.join(nb, "cell")
+        .crossJoin(F.broadcast(stats))
+        .select("cell", "x", "w", "wx", z.alias("z"))
     )

@@ -1,0 +1,117 @@
+"""Getis-Ord Gi* hot-spot z-scores vs a python oracle, degenerate-variance
+NULLs, hotspot sanity, seam guard, plan purity."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from osmspark.functions import hexgrid
+from osmspark.operators.tiles import gi_star
+
+
+def _oracle(pts, res, k, values=None):
+    cells = hexgrid.latlon_to_cell(
+        np.array([p[0] for p in pts]), np.array([p[1] for p in pts]), res)
+    x = {}
+    for i, c in enumerate(cells):
+        x[int(c)] = x.get(int(c), 0.0) + (values[i] if values else 1.0)
+    n = len(x)
+    xs = np.array(list(x.values()))
+    mean = xs.mean()
+    s = math.sqrt((xs * xs).mean() - mean * mean)
+    out = {}
+    occupied = set(x)
+    for c, xi in x.items():
+        ring = set(int(v) for v in hexgrid.kring(np.array([c]), k)[0])
+        nbs = ring & occupied
+        w = len(nbs)
+        wx = sum(x[j] for j in nbs)
+        var = (n * w - w * w) / (n - 1) if n > 1 else 0.0
+        z = ((wx - mean * w) / (s * math.sqrt(var))
+             if n > 1 and s > 0 and var > 0 else None)
+        out[c] = (xi, w, wx, z)
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_gi_star_matches_python_oracle(spark, k):
+    rng = random.Random(31)
+    pts = [(1.29 + rng.random() * 0.02, 103.79 + rng.random() * 0.02)
+           for _ in range(300)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {r["cell"]: (r["x"], r["w"], r["wx"], r["z"]) for r in
+           gi_star(df, res=8, k=k).collect()}
+    exp = _oracle(pts, 8, k)
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c][0] == exp[c][0]
+        assert got[c][1] == exp[c][1]
+        assert abs(got[c][2] - exp[c][2]) < 1e-9
+        if exp[c][3] is None:
+            assert got[c][3] is None
+        else:
+            assert abs(got[c][3] - exp[c][3]) < 1e-9
+
+
+def test_gi_star_uniform_field_is_all_null(spark):
+    # one point per distinct cell -> x identical everywhere -> S == 0
+    pts = [(1.29 + 0.002 * i, 103.79) for i in range(20)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = gi_star(df, res=9, k=1).collect()
+    xs = {r["x"] for r in rows}
+    if xs == {1.0}:  # guard the fixture's premise
+        assert all(r["z"] is None for r in rows)
+
+
+def test_gi_star_hotspot_and_weighted(spark):
+    rng = random.Random(7)
+    # sparse background + a dense blob: the blob cell must be the max z
+    pts = [(1.29 + rng.random() * 0.02, 103.79 + rng.random() * 0.02)
+           for _ in range(60)]
+    pts += [(1.3001 + rng.random() * 1e-4, 103.8001 + rng.random() * 1e-4)
+            for _ in range(60)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = gi_star(df, res=10, k=1).collect()
+    blob_cells = hexgrid.latlon_to_cell(
+        np.array([p[0] for p in pts[60:]]),
+        np.array([p[1] for p in pts[60:]]), 10).tolist()
+    hot = max(set(blob_cells), key=blob_cells.count)  # modal blob cell
+    z = {r["cell"]: r["z"] for r in rows}
+    assert z[hot] > 2.0
+    # the argmax may legitimately be a sparse NEIGHBOR of the blob (same
+    # wx, smaller w -> smaller variance term), but must sit in its 1-ring
+    best = max(rows, key=lambda r: r["z"] if r["z"] is not None else -1e18)
+    ring1 = set(int(c) for c in hexgrid.kring(np.array([hot]), 1)[0])
+    assert best["cell"] in ring1 and best["z"] > 2.0
+    # weighted: doubling every weight leaves z invariant (scale-free)
+    wdf = spark.createDataFrame(
+        [(la, lo, 2.0) for la, lo in pts], "lat double, lon double, v double")
+    got_w = {r["cell"]: r["z"] for r in
+             gi_star(wdf, res=10, k=1, value_col="v").collect()}
+    got_1 = {r["cell"]: r["z"] for r in rows}
+    for c in got_1:
+        if got_1[c] is not None:
+            assert abs(got_w[c] - got_1[c]) < 1e-9
+    with pytest.raises(ValueError, match="k must"):
+        gi_star(df, res=10, k=0)
+
+
+def test_gi_star_seam_guard(spark):
+    df = spark.createDataFrame(
+        [(0.001, 44.9999), (1.30, 103.80), (1.31, 103.81)],
+        "lat double, lon double")
+    with pytest.raises(Exception, match="face edge"):
+        gi_star(df, res=9, k=1).collect()
+    rows = gi_star(df, res=9, k=1, strict_seam=False).collect()
+    assert len(rows) == 3
+
+
+def test_gi_star_plan_pure_native(spark):
+    df = spark.createDataFrame([(1.30, 103.80)], "lat double, lon double")
+    plan = gi_star(df, res=9, k=1, materialize=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
