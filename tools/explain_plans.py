@@ -545,6 +545,47 @@ def main() -> None:
           lambda p: "HashAggregate" in p)],
     )
 
+    from osmspark.operators.mapmatch import (map_match, match_candidates,
+                                             way_segments)
+
+    mm_ways = spark.createDataFrame(
+        [("A", ["n0", "n1", "n2"]), ("B", ["n3", "n4"])],
+        "id string, nd array<string>")
+    mm_nodes = spark.createDataFrame(
+        [("n0", 1.3000, 103.800), ("n1", 1.3000, 103.801),
+         ("n2", 1.3000, 103.802), ("n3", 1.3007, 103.800),
+         ("n4", 1.3007, 103.802)],
+        "id string, lat double, lon double")
+    mm_gps = spark.createDataFrame(
+        [(1, float(t), 1.30001, 103.8002 + t * 0.0003) for t in range(5)],
+        "traj_id long, ts double, lat double, lon double")
+    mm_segs = way_segments(mm_ways, mm_nodes)
+
+    add(
+        "Map-match candidates (round 5 — seam-exact cell join + native "
+        "point-to-segment filter)",
+        match_candidates(mm_gps, mm_segs, radius_m=80.0),
+        [("disk-cells UDF is the ONLY Python node (one per AQE "
+          "initial/final tree)",
+          lambda p: 1 <= p.count("+- ArrowEvalPython") <= 2),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p),
+         ("no cartesian/nested-loop join",
+          lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p),
+         ("segment reassembly is one bounded groupBy",
+          lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p)],
+    )
+    add(
+        "HMM map matching (round 5 — Viterbi applyInPandas per trajectory)",
+        map_match(mm_gps, mm_segs, radius_m=80.0),
+        [("exactly one per-key python stage (the Viterbi pass)",
+          lambda p: p.count("FlatMapGroupsInPandas") >= 1),
+         ("no cartesian/nested-loop join",
+          lambda p: "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
