@@ -487,3 +487,98 @@ def gi_star(points: DataFrame, res: int, k: int = 1,
         .crossJoin(F.broadcast(stats))
         .select("cell", "x", "w", "wx", z.alias("z"))
     )
+
+
+def morans_i(points: DataFrame, res: int, k: int = 1,
+             lat: str = "lat", lon: str = "lon",
+             value_col: str | None = None,
+             strict_seam: bool = True,
+             materialize: bool = True) -> DataFrame:
+    """ONE row (n, w_sum, i, e_i, var_i, z): global Moran's I spatial
+    autocorrelation (Moran 1950; z under the normality assumption per
+    Cliff & Ord 1981) over the occupied hex cells, binary weights on
+    the k-ring EXCLUDING self — the complementary global statistic to
+    `gi_star`'s local one, same study-set semantics (occupied cells are
+    the features).
+
+        I = (n / W) * sum_i dev_i * sum_{j in N(i)} dev_j
+                    / sum_i dev_i^2
+
+    with dev = x - mean.  Binary symmetric weights give S1 = 2W and
+    S2 = 4 * sum_i w_i^2, so the normality variance closes over three
+    aggregates.  i/z are NULL when degenerate (n <= 1, no variance, or
+    no neighboring pairs).
+
+    Plan shape: the gi_star machinery minus the per-cell join-back —
+    one cell aggregate (localCheckpointed before its fan-out, same
+    rationale), one broadcast of the two global moments, one stencil
+    explode + groupBy for neighbor deviation sums, ONE final single-row
+    aggregate.  Zero Python; same face-seam guard."""
+    from ..functions.hexgrid import kring_offsets, with_hex_cell
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    x_in = (F.col(value_col).cast("double") if value_col else F.lit(1.0))
+    cells = with_hex_cell(
+        points.select(F.col(lat).alias("lat"), F.col(lon).alias("lon"),
+                      x_in.alias("__x")),
+        res, out_col="cell",
+    ).groupBy("cell").agg(F.sum("__x").alias("x"))
+    if strict_seam:
+        cells = _guard_face_seam(
+            cells, res, k, "x", "morans_i",
+            "cross-seam neighborhoods would silently under-count")
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+
+    stats = cells.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("x").alias("__mean"),
+    )
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "cell", (F.col("x") - F.col("__mean")).alias("dev"), "__n")
+
+    offs = [o for o in kring_offsets(k) if o != (0, 0)]
+    stencil = F.array(*[
+        F.lit((dq << 28) + dr).cast("long") for dq, dr in offs
+    ])
+    nb = (
+        dev.select("cell", F.col("dev").alias("__dj"),
+                   F.explode(stencil).alias("__d"))
+        .select((F.col("cell") + F.col("__d")).alias("cell"), "__dj")
+        .groupBy("cell")
+        .agg(F.sum("__dj").alias("nb_dev"), F.count("*").alias("w"))
+    )
+    per = dev.join(nb, "cell", "left").select(
+        "__n", "dev",
+        F.coalesce(F.col("nb_dev"), F.lit(0.0)).alias("nb_dev"),
+        F.coalesce(F.col("w"), F.lit(0)).cast("double").alias("w"),
+    )
+    agg = per.agg(
+        F.first("__n").alias("n"),
+        F.sum(F.col("dev") * F.col("nb_dev")).alias("__num"),
+        F.sum(F.col("dev") * F.col("dev")).alias("__den"),
+        F.sum("w").alias("w_sum"),
+        F.sum(F.col("w") * F.col("w")).alias("__w2"),
+    )
+    n, W = F.col("n"), F.col("w_sum")
+    ok = (n > 1) & (F.col("__den") > 0) & (W > 0)
+    i_val = F.when(ok, (n / W) * F.col("__num") / F.col("__den"))
+    e_i = F.when(n > 1, F.lit(-1.0) / (n - 1))
+    s1 = F.lit(2.0) * W
+    s2 = F.lit(4.0) * F.col("__w2")
+    var_i = F.when(
+        ok,
+        (n * n * s1 - n * s2 + F.lit(3.0) * W * W)
+        / (W * W * (n * n - F.lit(1.0)))
+        - e_i * e_i,
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        W.cast("long").alias("w_sum"),
+        i_val.alias("i"),
+        e_i.alias("e_i"),
+        var_i.alias("var_i"),
+        F.when(ok & (var_i > 0),
+               (i_val - e_i) / F.sqrt(var_i)).alias("z"),
+    )

@@ -115,3 +115,81 @@ def test_gi_star_plan_pure_native(spark):
     plan = gi_star(df, res=9, k=1, materialize=False)._jdf \
         .queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def _moran_oracle(pts, res, k, values=None):
+    cells = hexgrid.latlon_to_cell(
+        np.array([p[0] for p in pts]), np.array([p[1] for p in pts]), res)
+    x = {}
+    for i, c in enumerate(cells):
+        x[int(c)] = x.get(int(c), 0.0) + (values[i] if values else 1.0)
+    n = len(x)
+    mean = sum(x.values()) / n
+    dev = {c: v - mean for c, v in x.items()}
+    num = den = W = w2 = 0.0
+    occupied = set(x)
+    for c, dv in dev.items():
+        ring = set(int(v) for v in hexgrid.kring(np.array([c]), k)[0])
+        nbs = (ring - {c}) & occupied
+        w = len(nbs)
+        num += dv * sum(dev[j] for j in nbs)
+        den += dv * dv
+        W += w
+        w2 += w * w
+    if n <= 1 or den <= 0 or W <= 0:
+        return n, W, None, None, None, None
+    i_val = (n / W) * num / den
+    e = -1.0 / (n - 1)
+    s1, s2 = 2.0 * W, 4.0 * w2
+    var = ((n * n * s1 - n * s2 + 3 * W * W)
+           / (W * W * (n * n - 1))) - e * e
+    z = (i_val - e) / math.sqrt(var) if var > 0 else None
+    return n, W, i_val, e, var, z
+
+
+def test_morans_i_matches_python_oracle(spark):
+    from osmspark.operators.tiles import morans_i
+
+    rng = random.Random(23)
+    pts = [(1.29 + rng.random() * 0.02, 103.79 + rng.random() * 0.02)
+           for _ in range(300)]
+    vals = [rng.random() * 10 for _ in pts]
+    df = spark.createDataFrame(
+        [(la, lo, v) for (la, lo), v in zip(pts, vals)],
+        "lat double, lon double, v double")
+    row = morans_i(df, res=8, k=1, value_col="v").collect()[0]
+    n, W, i_val, e, var, z = _moran_oracle(pts, 8, 1, vals)
+    assert (row["n"], row["w_sum"]) == (n, W)
+    assert abs(row["i"] - i_val) < 1e-9
+    assert abs(row["e_i"] - e) < 1e-12
+    assert abs(row["var_i"] - var) < 1e-12
+    assert abs(row["z"] - z) < 1e-9
+
+
+def test_morans_i_sign_and_degenerate(spark):
+    from osmspark.operators.tiles import morans_i
+
+    rng = random.Random(3)
+    # two spatial blocks, high values NE / low values SW -> positive I
+    pts, vals = [], []
+    for _ in range(150):
+        pts.append((1.29 + rng.random() * 0.008,
+                    103.79 + rng.random() * 0.008))
+        vals.append(1.0 + rng.random() * 0.1)
+    for _ in range(150):
+        pts.append((1.305 + rng.random() * 0.008,
+                    103.805 + rng.random() * 0.008))
+        vals.append(9.0 + rng.random() * 0.1)
+    df = spark.createDataFrame(
+        [(la, lo, v) for (la, lo), v in zip(pts, vals)],
+        "lat double, lon double, v double")
+    row = morans_i(df, res=10, k=1, value_col="v").collect()[0]
+    assert row["i"] > 0.5 and row["z"] > 5.0
+    # uniform field -> zero variance -> NULL i/z
+    upts = [(1.29 + 0.002 * i, 103.79) for i in range(20)]
+    udf = spark.createDataFrame(upts, "lat double, lon double")
+    urow = morans_i(udf, res=9, k=1).collect()[0]
+    if urow["n"] == 20:                 # all cells distinct, x == 1
+        assert urow["i"] is None and urow["z"] is None
+    with pytest.raises(ValueError, match="k must"):
+        morans_i(df, res=9, k=0)
