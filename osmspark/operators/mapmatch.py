@@ -107,22 +107,27 @@ def way_segments(ways: DataFrame, nodes: DataFrame,
     )
 
 
-def _project_onto_segment(plat, plon, lat1, lon1, lat2, lon2, mid_lat):
+def _project_onto_segment(plat, plon, lat1, lon1, kx, dlat, dlon,
+                          dx, dy, den):
     """Native clamped projection of point p onto segment (a, b) in the
     local equirectangular chart anchored at the segment's mid latitude.
-    Returns (m_lat, m_lon) Columns of the closest segment point."""
+    Returns (m_lat, m_lon) Columns of the closest segment point.
+
+    Takes the per-SEGMENT chart constants (kx, dlat, dlon, dx, dy, den)
+    as pre-materialized columns rather than deriving them inline: the
+    filter/projection that consumes (m_lat, m_lon) inlines this tree
+    ~8x (m_lat, m_lon, and both haversine references of each, times the
+    pushed-down filter's own copy), so every op here multiplies.  With
+    the constants inline the candidate filter ran at ~30 us core/row —
+    an order of magnitude past native math (the generated method blows
+    the JIT compile budget); hoisting them to the 20k-row segment side
+    before the cell join brought the same 13.5M-row filter from 13.3 s
+    to 1.2 s on the bench grid (identical output)."""
     ky = F.lit(_M_PER_DEG_LAT)
-    kx = ky * F.cos(F.radians(mid_lat))
-    ax = (lon1 - plon) * kx
-    ay = (lat1 - plat) * ky
-    bx = (lon2 - plon) * kx
-    by = (lat2 - plat) * ky
-    dx, dy = bx - ax, by - ay
-    den = dx * dx + dy * dy
-    t_raw = -(ax * dx + ay * dy) / den
+    t_raw = (((plon - lon1) * kx * dx + (plat - lat1) * ky * dy) / den)
     t = F.when(den > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
                ).otherwise(F.lit(0.0))
-    return lat1 + t * (lat2 - lat1), lon1 + t * (lon2 - lon1)
+    return lat1 + t * dlat, lon1 + t * dlon
 
 
 def match_candidates(gps: DataFrame, segments: DataFrame,
@@ -138,13 +143,23 @@ def match_candidates(gps: DataFrame, segments: DataFrame,
         raise ValueError("radius_m must be positive")
     if float(max_seg_len_m) <= 0:
         raise ValueError("max_seg_len_m must be positive")
-    from .radius_join import query_disk_cells
-    from ..functions.hexgrid import with_hex_cell
+    from .radius_join import MAX_RING, auto_res
+    from ..functions.hexgrid import (MAX_COVER_M, disk_cells_udf,
+                                     with_hex_cell)
 
-    # the guard rides INSIDE query_id (concat with an empty string), so
-    # column pruning cannot elide it: a frame that only reads the ids
-    # still trips the raise on an over-long segment
-    guard = F.when(
+    cover = float(radius_m) + float(max_seg_len_m) / 2.0
+    if cover > MAX_COVER_M:
+        raise ValueError(
+            f"match_candidates: disk cover {cover:.0f} m (radius_m + "
+            f"max_seg_len_m/2) exceeds MAX_COVER_M={MAX_COVER_M:.0f} m — "
+            "the radius-join fanout envelope; lower the radius or "
+            "densify the ways")
+    if res is None:
+        res = auto_res(cover)
+    # the guard rides inside lat1 — a column the exact filter ALWAYS
+    # consumes, so column pruning cannot elide the raise (the first cut
+    # hung it on len_m, which nothing downstream reads — pruned away)
+    lat1_g = F.when(
         F.col("len_m") > F.lit(float(max_seg_len_m)),
         F.raise_error(F.concat(
             F.lit("match_candidates: segment longer than "
@@ -154,35 +169,44 @@ def match_candidates(gps: DataFrame, segments: DataFrame,
             F.lit(" — the midpoint disk cover would under-reach; "
                   "densify the way upstream (simplify_ways keeps "
                   "chains) or raise max_seg_len_m"),
-        )),
-    ).otherwise(F.lit(""))
-    seg_key = F.concat(F.col("way_id").cast("string"), F.lit("#"),
-                       F.col("seg_idx").cast("string"), guard)
-    segs = segments
-    mids = segs.select(
-        seg_key.alias("query_id"),
-        F.col("mid_lat").alias("lat"),
-        F.col("mid_lon").alias("lon"),
+        )).cast("double"),
+    ).otherwise(F.col("lat1"))
+    # geometry rides THROUGH the disk explode: one equi-join total on the
+    # int cell key.  (The first cut ran query_disk_cells on a string
+    # "way#seg" key and re-joined the geometry afterwards — the 13.5M-row
+    # string-keyed join was 10x the cost of everything else combined.)
+    # The chart constants (kx, dlat, dlon, dx, dy, den) are materialized
+    # HERE, on the segment side pre-join — see _project_onto_segment for
+    # the measured 11x this buys on the post-join filter.
+    ky = F.lit(_M_PER_DEG_LAT)
+    segd = segments.select(
+        "way_id", "seg_idx", lat1_g.alias("lat1"), "lon1", "lat2", "lon2",
+        (ky * F.cos(F.radians("mid_lat"))).alias("__kx"),
+        (F.col("lat2") - F.col("lat1")).alias("__dlat"),
+        (F.col("lon2") - F.col("lon1")).alias("__dlon"),
+        F.explode_outer(
+            disk_cells_udf(res, max_ring=MAX_RING)(
+                F.col("mid_lat"), F.col("mid_lon"), F.lit(cover))
+        ).alias("__pcell"),
+    ).select(
+        "*",
+        (F.col("__dlon") * F.col("__kx")).alias("__dx"),
+        (F.col("__dlat") * ky).alias("__dy"),
+    ).select(
+        "*",
+        (F.col("__dx") * F.col("__dx")
+         + F.col("__dy") * F.col("__dy")).alias("__den"),
     )
-    cover = float(radius_m) + float(max_seg_len_m) / 2.0
-    q, used_res = query_disk_cells(mids, cover, metric="haversine", res=res)
     pts = with_hex_cell(
         gps.select(F.col(traj_col), F.col(ts_col).cast("double").alias(ts_col),
                    "lat", "lon"),
-        used_res, out_col="__pcell",
+        res, out_col="__pcell",
     )
-    geom = segs.select(
-        seg_key.alias("query_id"),
-        "way_id", "seg_idx", "lat1", "lon1", "lat2", "lon2", "mid_lat",
-    )
-    cand = (
-        q.select("query_id", "__pcell").join(pts, "__pcell")
-        .join(geom, "query_id")
-    )
+    cand = segd.join(pts, "__pcell")
     m_lat, m_lon = _project_onto_segment(
-        F.col("lat"), F.col("lon"),
-        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
-        F.col("mid_lat"))
+        F.col("lat"), F.col("lon"), F.col("lat1"), F.col("lon1"),
+        F.col("__kx"), F.col("__dlat"), F.col("__dlon"),
+        F.col("__dx"), F.col("__dy"), F.col("__den"))
     dist = haversine_m(F.col("lat"), F.col("lon"), m_lat, m_lon)
     return (
         cand.select(
@@ -267,6 +291,12 @@ def map_match(gps: DataFrame, segments: DataFrame,
         d = pdf["dist_m"].to_numpy(dtype=np.float64)
         has = pdf["way_id"].notna().to_numpy()
         nT = len(uts)
+        # consecutive-fix great-circle distances, ONE vectorized call per
+        # trajectory (a scalar call inside the timestep loop costs ~30 us
+        # of numpy dispatch x fixes — measured dominant at 200k fixes)
+        fla, flo = la[starts], lo[starts]
+        gcs = (haversine_np(fla[:-1], flo[:-1], fla[1:], flo[1:])
+               if nT > 1 else np.empty(0))
 
         # per-timestep candidate index slices ([] where unmatched)
         slices = []
@@ -296,9 +326,7 @@ def map_match(gps: DataFrame, segments: DataFrame,
             ptrs = []
             for u in range(t0 + 1, t):
                 jx = slices[u]
-                gc = float(haversine_np(la[slices[u - 1][0]],
-                                        lo[slices[u - 1][0]],
-                                        la[jx[0]], lo[jx[0]]))
+                gc = gcs[u - 1]
                 dm = haversine_np(mla[ix][:, None], mlo[ix][:, None],
                                   mla[jx][None, :], mlo[jx][None, :])
                 trans = -np.abs(dm - gc) / beta

@@ -255,6 +255,39 @@ def main() -> None:
           lambda: route_near_dup_pairs(traj2k, jaccard_threshold=0.5,
                                        res=9).count())
 
+    # HMM map matching: 200k GPS fixes (500 trajectories x 400 fixes,
+    # deterministic +-20 m jitter) over a 20k-segment grid network
+    # (100 rows x 200 ~100 m segments), everything through candidates +
+    # per-trajectory Viterbi
+    from osmspark.operators.mapmatch import map_match
+
+    _ky = 111194.9  # m per degree latitude (engine earth radius)
+    dx = 100.0 / (_ky * 0.999)  # ~100 m in lon degrees at lat ~1.3
+    dy = 0.002  # rows ~222 m apart
+    segs = spark.range(100 * 200).select(
+        (F.col("id") % 100).cast("string").alias("way_id"),
+        F.floor(F.col("id") / 100).cast("int").alias("seg_idx"),
+        (F.lit(1.2) + (F.col("id") % 100) * F.lit(dy)).alias("lat1"),
+        (F.lit(103.6) + F.floor(F.col("id") / 100) * F.lit(dx)).alias("lon1"),
+        (F.lit(1.2) + (F.col("id") % 100) * F.lit(dy)).alias("lat2"),
+        (F.lit(103.6) + (F.floor(F.col("id") / 100) + 1) * F.lit(dx)).alias("lon2"),
+    ).withColumn("mid_lat", (F.col("lat1") + F.col("lat2")) / 2) \
+        .withColumn("mid_lon", (F.col("lon1") + F.col("lon2")) / 2) \
+        .withColumn("len_m", F.lit(100.0)).persist()
+    segs.count()
+    gps200k = spark.range(500 * 400).select(
+        (F.col("id") % 500).alias("traj_id"),
+        F.floor(F.col("id") / 500).cast("double").alias("ts"),
+        (F.lit(1.2) + (F.col("id") % 500) % 100 * F.lit(dy)
+         + (F.pmod(F.xxhash64("id"), F.lit(41)) - F.lit(20))
+         * F.lit(1.0 / _ky)).alias("lat"),
+        (F.lit(103.6) + F.floor(F.col("id") / 500) * F.lit(50.0 / _ky))
+        .alias("lon"),
+    ).persist()
+    gps200k.count()
+    mm_df = map_match(gps200k, segs, radius_m=60.0, sigma_m=10.0)
+    bench("map_match_200k_fixes_20k_segs", lambda: mm_df.count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count
