@@ -545,6 +545,20 @@ def main() -> None:
           lambda p: "HashAggregate" in p)],
     )
 
+    from osmspark.operators.tiles import morans_i
+
+    add(
+        "Global Moran's I (round 5 — stencil neighbor sums, one-row "
+        "output)",
+        morans_i(nodes.select("lat", "lon"), res=8, k=1,
+                 materialize=False),
+        [("neighbor deviation sums ride the literal stencil explode",
+          lambda p: "Generate" in p),
+         ("global moments arrive by broadcast, not shuffle",
+          lambda p: "BroadcastExchange" in p),
+         ("zero Python anywhere", lambda p: "EvalPython" not in p)],
+    )
+
     from osmspark.operators.mapmatch import (map_match, match_candidates,
                                              way_segments)
 
