@@ -1,4 +1,6 @@
-"""Trajectory operators — stay-point (dwell) detection.
+"""Trajectory operators — stay-point (dwell) detection, route
+similarity, per-fix kinematics (dt/dist/speed/bearing), and
+isolated-jump despiking.
 
 Stay points follow Li et al. (2008), "Mining user similarity based on
 location history": scan a time-ordered trajectory; from an anchor point,
@@ -239,3 +241,159 @@ def hausdorff_pairs(traj: DataFrame, pairs: DataFrame,
                                 "hausdorff": res_h})
 
     return joined.mapInPandas(kernel, out_schema)
+
+
+# --- kinematics + despiking --------------------------------------------------
+
+
+_KIN_COLS = ("seq", "dt_s", "dist", "speed", "bearing_deg")
+
+
+def _pair_dist(plat, plon, lat, lon, metric):
+    from ..functions.geo import haversine_m
+
+    if metric == "haversine":
+        return haversine_m(plat, plon, lat, lon)
+    dla, dlo = lat - plat, lon - plon
+    return F.sqrt(dla * dla + dlo * dlo)
+
+
+def traj_kinematics(traj: DataFrame, traj_col: str = "traj_id",
+                    ts_col: str = "ts",
+                    metric: str = "haversine") -> DataFrame:
+    """All input columns + (seq, dt_s, dist, speed, bearing_deg): per-fix
+    motion derivatives from the previous fix of the same trajectory —
+    the enrichment pass that usually precedes map matching, stay-point
+    mining, or speed-based quality filtering.
+
+    Units: metric='haversine' -> dist meters, speed m/s, bearing the
+    initial great-circle course; metric='sq_deg' -> dist degrees
+    (euclidean on the raw lat/lon plane, the engine's sq_deg
+    convention), speed deg/s, bearing planar atan2(dlon, dlat).  The
+    sq_deg path uses only +,-,*,/ and IEEE sqrt, so its dist/speed are
+    bit-reproducible across engines — the property the driver oracle
+    row leans on.
+
+    Contract: seq is the 0-based position in (ts, lat, lon) order (the
+    stay_points determinism convention — equal timestamps cannot leak
+    shuffle order); the first fix of a trajectory has NULL
+    dt_s/dist/speed/bearing_deg; a duplicate timestamp yields dt_s = 0
+    and NULL speed (never an infinity); zero displacement yields
+    bearing 0.0 (the atan2(0, 0) convention, documented rather than
+    NULL so a stationary fix keeps its row shape).  `ts` may be a
+    timestamp or numeric seconds, as everywhere in the trajectory
+    family.
+
+    Plan shape: ONE exchange (hash by trajectory) feeding one Window,
+    then pure codegen arithmetic on the lag attributes — the lag
+    columns are materialized window outputs, so the haversine/bearing
+    trees reference cheap leaves, never re-inline the window (the
+    mapmatch JIT-budget lesson).  Scale: embarrassingly parallel after
+    the one exchange; a single mega-trajectory is the documented skew
+    limit (split by day upstream)."""
+    if metric not in ("haversine", "sq_deg"):
+        raise ValueError(f"unknown metric {metric!r}")
+    clash = set(_KIN_COLS) & set(traj.columns)
+    if clash:
+        raise ValueError(
+            f"traj_kinematics: input already has {sorted(clash)} — rename "
+            "or drop them upstream; the derived columns would collide")
+    from pyspark.sql import Window
+
+    base = traj.withColumn("__ts", F.col(ts_col).cast("double"))
+    w = Window.partitionBy(traj_col).orderBy("__ts", "lat", "lon")
+    lagged = base.select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        F.lag("lat").over(w).alias("__plat"),
+        F.lag("lon").over(w).alias("__plon"),
+        F.lag("__ts").over(w).alias("__pts"),
+    )
+    plat, plon = F.col("__plat"), F.col("__plon")
+    lat, lon = F.col("lat"), F.col("lon")
+    dt = F.col("__ts") - F.col("__pts")
+    dist = _pair_dist(plat, plon, lat, lon, metric)
+    if metric == "haversine":
+        dlon_r = F.radians(lon - plon)
+        y = F.sin(dlon_r) * F.cos(F.radians(lat))
+        x = (F.cos(F.radians(plat)) * F.sin(F.radians(lat))
+             - F.sin(F.radians(plat)) * F.cos(F.radians(lat))
+             * F.cos(dlon_r))
+        bearing = F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
+    else:
+        bearing = F.pmod(F.degrees(F.atan2(lon - plon, lat - plat)),
+                         F.lit(360.0))
+    return lagged.select(
+        *traj.columns,
+        (F.col("__rn") - 1).alias("seq"),
+        dt.alias("dt_s"),
+        dist.alias("dist"),
+        F.when(dt > 0, dist / dt).alias("speed"),
+        bearing.alias("bearing_deg"),
+    )
+
+
+def spike_flags(traj: DataFrame, max_speed: float,
+                traj_col: str = "traj_id", ts_col: str = "ts",
+                metric: str = "haversine") -> DataFrame:
+    """All input columns + is_spike: TRUE for an ISOLATED GPS jump — a
+    fix whose implied speed from the previous fix AND to the next fix
+    both exceed `max_speed`, while the previous fix could have reached
+    the next one directly within `max_speed` (so the neighbors agree
+    with each other and disagree with this fix).  The three-way test is
+    what keeps genuine fast segments: a vehicle actually moving at
+    highway speed fails the third clause (its neighbors are far apart
+    too), so only the teleporting outlier is flagged.
+
+    NULL-safe by construction: trajectory edges (no prev or no next)
+    and unattributable cases (a zero dt on either side makes that
+    side's speed NULL) are never spikes.  `max_speed` is m/s for
+    metric='haversine', deg/s for 'sq_deg'.  Same one-exchange window
+    shape as `traj_kinematics`; lag/lead attributes keep the distance
+    trees on leaves."""
+    if metric not in ("haversine", "sq_deg"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if float(max_speed) <= 0:
+        raise ValueError("max_speed must be positive")
+    if "is_spike" in traj.columns:
+        raise ValueError("traj already has an is_spike column")
+    from pyspark.sql import Window
+
+    base = traj.withColumn("__ts", F.col(ts_col).cast("double"))
+    w = Window.partitionBy(traj_col).orderBy("__ts", "lat", "lon")
+    lagged = base.select(
+        "*",
+        F.lag("lat").over(w).alias("__plat"),
+        F.lag("lon").over(w).alias("__plon"),
+        F.lag("__ts").over(w).alias("__pts"),
+        F.lead("lat").over(w).alias("__nlat"),
+        F.lead("lon").over(w).alias("__nlon"),
+        F.lead("__ts").over(w).alias("__nts"),
+    )
+    lat, lon, ts = F.col("lat"), F.col("lon"), F.col("__ts")
+    plat, plon, pts = F.col("__plat"), F.col("__plon"), F.col("__pts")
+    nlat, nlon, nts = F.col("__nlat"), F.col("__nlon"), F.col("__nts")
+    vmax = F.lit(float(max_speed))
+
+    def v(alat, alon, blat, blon, adt):
+        return F.when(adt > 0,
+                      _pair_dist(alat, alon, blat, blon, metric) / adt)
+
+    v_in = v(plat, plon, lat, lon, ts - pts)
+    v_out = v(lat, lon, nlat, nlon, nts - ts)
+    v_skip = v(plat, plon, nlat, nlon, nts - pts)
+    spike = (F.coalesce(v_in > vmax, F.lit(False))
+             & F.coalesce(v_out > vmax, F.lit(False))
+             & F.coalesce(v_skip <= vmax, F.lit(False)))
+    return lagged.select(*traj.columns, spike.alias("is_spike"))
+
+
+def despike(traj: DataFrame, max_speed: float,
+            traj_col: str = "traj_id", ts_col: str = "ts",
+            metric: str = "haversine") -> DataFrame:
+    """The input minus isolated GPS jumps (see `spike_flags`) — the
+    standard cleaning pass before map matching or kinematics.  Single
+    pass: one window, one filter; column set unchanged."""
+    flagged = spike_flags(traj, max_speed, traj_col=traj_col,
+                          ts_col=ts_col, metric=metric)
+    return flagged.where(~F.col("is_spike")).drop("is_spike")
