@@ -38,6 +38,8 @@ argument.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,3 +192,60 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
             raise RuntimeError(msg)
         print(f"WARNING: {msg}")
     return dist
+
+
+def isochrone_cells(edges: DataFrame, nodes: DataFrame, sources: DataFrame,
+                    bands_m: Sequence[float], res: int, *,
+                    node_id: str = "id", lat: str = "lat", lon: str = "lon",
+                    by_source: bool = False, max_rounds: int = 200,
+                    strict: bool = True,
+                    stats_out: dict | None = None) -> DataFrame:
+    """Reachability isochrones on the hex lattice: (cell, band_m,
+    min_dist_m, n_nodes) — every res-`res` cell holding a graph node
+    whose network distance from the nearest source is <= some band,
+    labelled with the SMALLEST band that covers it (band boundaries are
+    inclusive).  Cells whose nearest node sits beyond the outermost
+    band are absent, as are graph nodes missing from `nodes` (no
+    coordinates -> no cell; same inner-join stance as the geometry
+    family).
+
+    `by_source=True` adds the `source` column: the lattice partitioned
+    by NEAREST source (network Voronoi), i.e. each node is attributed
+    to the one source that settled it — NOT independent per-source
+    isochrones, which would need one run per source (ties on distance
+    settle toward the smaller source label, so the partition is
+    deterministic).
+
+    Composition, and the scale shape on top of `shortest_paths`: the
+    settled distances (already the fixpoint's localCheckpoint) take ONE
+    node-keyed equi-join onto the coordinate table, the native hex
+    assignment (whole-stage codegen), a pre-aggregation filter to the
+    outermost band — the min-per-cell is unchanged by it, because any
+    cell whose true minimum survives keeps the minimizing node — and
+    ONE groupBy(cell) with a map-side-combining min/count.  Banding is
+    a native CASE chain.  Nothing here broadcasts or collects."""
+    bands = [float(b) for b in bands_m]
+    if not bands:
+        raise ValueError("bands_m must name at least one band")
+    if any(b <= 0 for b in bands) or sorted(set(bands)) != bands:
+        raise ValueError(
+            f"bands_m must be positive and strictly increasing: {bands_m!r}")
+    from ..functions.hexgrid import with_hex_cell
+
+    dist = shortest_paths(edges, sources, max_rounds=max_rounds,
+                          strict=strict, stats_out=stats_out)
+    pts = nodes.select(F.col(node_id).alias("node"),
+                       F.col(lat).alias("__lat"), F.col(lon).alias("__lon"))
+    keys = (["source", "cell"] if by_source else ["cell"])
+    assigned = with_hex_cell(
+        dist.join(pts, "node").where(F.col("dist_m") <= F.lit(bands[-1])),
+        res, lat="__lat", lon="__lon", out_col="cell")
+    per_cell = assigned.groupBy(*keys).agg(
+        F.min("dist_m").alias("min_dist_m"),
+        F.count("*").alias("n_nodes"))
+    band = F.lit(None).cast("double")
+    for b in reversed(bands):
+        band = F.when(F.col("min_dist_m") <= F.lit(b), F.lit(b)) \
+            .otherwise(band)
+    return per_cell.select(*keys, band.alias("band_m"),
+                           "min_dist_m", "n_nodes")

@@ -75,7 +75,15 @@ def cosine_topk_bruteforce(
 
 
 def _assign_udf(centroids: np.ndarray):
-    """pandas UDF: embedding -> nearest centroid id (cosine), vectorized."""
+    """pandas UDF: embedding -> nearest centroid id (cosine), vectorized.
+
+    The returned callable wraps the UDF in coalesce(udf, -1): the UDF
+    never actually returns null, but declaring the output NON-NULLABLE
+    stops InferFiltersFromConstraints from copying IsNotNull(assign(...))
+    into a filter when cid becomes a join key — a predicate shape where
+    (observed round 5, let_-wrapped quantized input under a cached plan)
+    the PythonUDF escapes batch extraction and the interpreted fallback
+    dies with INTERNAL_ERROR Cannot-evaluate-PythonUDF."""
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @F.pandas_udf(T.IntegerType())
@@ -84,7 +92,7 @@ def _assign_udf(centroids: np.ndarray):
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
 
-    return assign
+    return lambda col: F.coalesce(assign(col), F.lit(-1))
 
 
 def _probe_udf(centroids: np.ndarray, nprobe: int):
@@ -420,31 +428,37 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     800 TB and a 200 TB embedding table at 10^12 docs x 200 dims), with
     per-element absolute error <= scale/2 where scale = max|v|/127.
 
-    All native: array_max/transform/round in codegen, the scale bound as
-    a STAGED column so the per-element divide reads a bound value
-    instead of re-evaluating the max per lane.  Caveat (observed in the
-    int8-GEMM plan audit): if the CONSUMER prunes the scale column away,
-    CollapseProject re-inlines the scale expression into the lambda and
-    the per-lane cost becomes O(d) (O(d^2) per vector) — still trivially
-    map-side at embedding dims (500k x 64 quantizes in 0.04 s,
-    BENCH_MISC_r05.json), and the intended at-scale usage writes the
-    quantized table once (storage path) rather than re-quantizing per
-    scan, so the collapse never sits on a hot path.  Zero vectors
-    quantize to zeros with scale 1 (no divide-by-zero NaNs).
-    `dequantize_embeddings` is the exact inverse map (up to the
-    quantization error)."""
+    All native: array_max/transform/round in codegen, with the scale
+    `let_`-BOUND inside the element lambda so it evaluates once per ROW
+    no matter what the consumer's projection does.  The earlier staged-
+    column form relied on the consumer keeping the scale column alive:
+    when a downstream select PRUNED it, CollapseProject re-inlined the
+    array_max subtree into the per-element lambda — O(d) per lane,
+    O(d^2) per vector — and the 500k x 64 bench collapsed from ~0.2 s
+    to ~10.5 s of real executor work (measured round 5 after fixing a
+    shuffle-stage-reuse flaw that had HIDDEN the regression as 0.03 s;
+    BENCH_MISC_r05.json carries the honest number).  The let_ barrier
+    is opaque to CollapseProject, so the O(d) total cost no longer
+    depends on the caller.  Zero vectors quantize to zeros with scale 1
+    (no divide-by-zero NaNs).  `dequantize_embeddings` is the exact
+    inverse map (up to the quantization error)."""
+    from ..functions.expr import let_
+
     for c in (out_col, scale_col):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
     amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
     s1 = df.select("*", scale.cast("double").alias(scale_col))
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.round(x / F.col(scale_col)).cast("int")),
-        ).cast("tinyint"),
+    q = let_(
+        F.col(scale_col),
+        lambda s: F.transform(
+            F.col(vec_col),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / s).cast("int")),
+            ).cast("tinyint"),
+        ),
     )
     return s1.select("*", q.alias(out_col))
 

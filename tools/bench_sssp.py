@@ -58,13 +58,43 @@ def main() -> None:
     dist = shortest_paths(edges, sources, max_rounds=64, stats_out=stats)
     n_settled = dist.count()
     dt = time.time() - t0
+    dist.unpersist()
     t_b, s_b = _steal()
     steal = round(100.0 * (s_b - s_a) / max(1, t_b - t_a), 2)
 
+    # isochrone_cells end-to-end on the same graph: the fixpoint above
+    # plus coordinate join + native hex assignment + banding (the delta
+    # vs the sssp row is the lattice stage's cost); synthetic coords
+    # spread the nodes over a ~0.5 x 0.5 degree box
+    from osmspark.operators.shortest_path import isochrone_cells
+
+    coords = ids.select(
+        F.col("id").alias("id"),
+        (F.lit(1.0) + F.pmod(F.xxhash64("id", F.lit(101)), F.lit(5000))
+         / F.lit(10000.0)).alias("lat"),
+        (F.lit(103.0) + F.pmod(F.xxhash64("id", F.lit(102)), F.lit(5000))
+         / F.lit(10000.0)).alias("lon"),
+    ).persist()
+    coords.count()
+    iso_stats: dict = {}
+    t_a2, s_a2 = _steal()
+    t1 = time.time()
+    iso = isochrone_cells(
+        edges, coords, sources,
+        bands_m=[2_000.0, 5_000.0, 10_000.0, 20_000.0, 50_000.0],
+        res=8, node_id="id", max_rounds=64, stats_out=iso_stats)
+    n_iso_cells = iso.count()
+    dt_iso = time.time() - t1
+    t_b2, s_b2 = _steal()
+    steal_iso = round(100.0 * (s_b2 - s_a2) / max(1, t_b2 - t_a2), 2)
+
     out = {
         "metric": "sssp_200k_nodes_sec",
-        "queries": {"sssp_200k_nodes_1p6m_edges_64src": round(dt, 3)},
-        "steal_pct": {"sssp_200k_nodes_1p6m_edges_64src": steal},
+        "queries": {"sssp_200k_nodes_1p6m_edges_64src": round(dt, 3),
+                    "isochrone_200k_nodes_r8_5bands": round(dt_iso, 3)},
+        "steal_pct": {"sssp_200k_nodes_1p6m_edges_64src": steal,
+                      "isochrone_200k_nodes_r8_5bands": steal_iso},
+        "n_isochrone_cells": int(n_iso_cells),
         "n_nodes_settled": int(n_settled),
         "n_edges": int(n_edges),
         "n_sources": int(n_src),

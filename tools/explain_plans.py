@@ -600,6 +600,48 @@ def main() -> None:
          ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.langid import lang_id
+
+    add(
+        "Trigram language-ID (round 5 — broadcast profile scoring)",
+        lang_id(docs.selectExpr(
+            "doc_id",
+            "concat_ws(' ', transform(spans, s -> s.text)) AS text")),
+        [("profile join is broadcast (a few hundred pivoted rows)",
+          lambda p: "BroadcastHashJoin" in p),
+         ("zero Python anywhere — normalize/grams/score all codegen",
+          lambda p: "EvalPython" not in p),
+         ("one aggregate back to doc grain (partial+final)",
+          lambda p: "HashAggregate" in p),
+         ("gram fan-out is one Generate explode",
+          lambda p: "Generate" in p)],
+    )
+
+    from osmspark.operators.shortest_path import isochrone_cells
+
+    iso_nodes = spark.createDataFrame(
+        [(f"n{i}", 1.29 + 0.002 * i, 103.8 + 0.001 * i)
+         for i in range(6)],
+        "id string, lat double, lon double")
+    iso_edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 250.0) for i in range(5)],
+        "src string, dst string, w_m double")
+    iso_src = spark.createDataFrame([("n0",)], "node string")
+
+    add(
+        "Isochrone cells (round 5 — lattice stage downstream of the "
+        "SSSP fixpoint)",
+        isochrone_cells(iso_edges, iso_nodes, iso_src,
+                        [300.0, 800.0], res=9),
+        [("zero Python downstream of the settled distances",
+          lambda p: "EvalPython" not in p),
+         ("coordinate join + min/count per cell are shuffle "
+          "hash-aggregates, no broadcast assumption on the node table",
+          lambda p: "HashAggregate" in p),
+         ("banding is a native CASE projection (no extra join)",
+          lambda p: "CASE WHEN" in p or "Project" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
