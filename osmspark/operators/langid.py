@@ -22,6 +22,16 @@ granularity — no shuffle of anything bigger than (doc, 6 doubles), no
 Python anywhere.  Trigram extraction is a native transform over
 substr, kept on the JVM codegen path.
 
+Measured negative result (round 5, 200k docs / ~120M grams, 32
+cores): folding the scores per row with F.aggregate over the gram
+array + per-language F.create_map lookups — no explode, no agg — runs
+10.2 s vs 6.8 s for this explode+join shape.  Higher-order functions
+evaluate on the interpreted path, so six interpreted map probes per
+element lose to whole-stage-codegen'd join probes even after paying
+the 600x row fan-out; the explode rows never hit an exchange (the join
+is broadcast, the aggregate combines map-side), so the fan-out costs
+CPU only, and codegen CPU is the cheaper kind.
+
 Determinism: scores are floating sums whose addend ORDER varies with
 partitioning, so ulp-level score noise exists by construction; the
 argmax is only trusted because real inter-language margins are orders

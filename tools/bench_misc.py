@@ -310,6 +310,15 @@ def main() -> None:
     mm_df = map_match(gps200k, segs, radius_m=60.0, sigma_m=10.0)
     bench("map_match_200k_fixes_20k_segs", lambda: mm_df.count())
 
+    # convex hull of the full 2.4M-point corpus, one global group: the
+    # two-phase shape is what's under test — phase 1 spreads the full
+    # scan over n_presplit tasks, only hull vertices reach the reducer
+    from osmspark.operators.hull import convex_hull
+
+    bench("convex_hull_2p4m_pts",
+          lambda: convex_hull(nodes.select("lat", "lon"),
+                              n_presplit=64).count())
+
     # the pyramid materializes its levels eagerly at BUILD time (that is
     # the operator's whole point — one base scan, no per-zoom recompute),
     # so the honest timing rebuilds it per call, build + final count

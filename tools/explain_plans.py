@@ -642,6 +642,23 @@ def main() -> None:
           lambda p: "CASE WHEN" in p or "Project" in p)],
     )
 
+    from osmspark.operators.hull import convex_hull
+
+    add(
+        "Convex hull (round 5 — two-phase hull-of-hulls)",
+        convex_hull(nodes.select("lat", "lon"), n_presplit=4),
+        [("both per-group python stages present (partial + merge; "
+          "formatted mode repeats node names in tree + detail sections)",
+          lambda p: p.count("FlatMapGroupsInPandas") >= 2
+          and "ArrowEvalPython" not in p),
+         ("phase-1 exchange keys on (group, salt) — the full-point pass "
+          "spreads over the presplit, not one task per group",
+          lambda p: "__salt" in p),
+         ("no collect_list of raw points anywhere",
+          lambda p: "collect_list" not in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
