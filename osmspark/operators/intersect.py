@@ -1,0 +1,244 @@
+"""Segment-segment intersection join — the line x line spatial primitive.
+
+Completes the engine's geometric join family: point x polygon
+(spatial_join), point x disk (radius_join), polygon x polygon (overlay) —
+and now polyline x polyline: which road segments cross which (grade
+crossings, unbridged intersections, conflation QA between two way sets).
+
+Shape (the family pattern): candidate generation by hex-cell cover +
+ONE equi-join on cell + an exact native predicate.
+
+Candidates: each segment is covered by every cell it passes through —
+samples along the (lat/lon-straight) segment at spacing `step` degrees,
+each sample expanded by the seam-exact `hexgrid.disk_cells` with cover
+`M_PER_DEG * step` meters.  Any point P on the segment lies within
+`step/2` of a sample along BOTH axes, and the meridian+parallel legs bound
+the great-circle distance by `M_PER_DEG * (|dlat| + |dlon|) <= M_PER_DEG *
+step` — so the cell containing P is in the sample's disk, and two
+intersecting segments always share the intersection point's cell:
+candidate generation is provably complete (and seam-exact, inherited from
+disk_cells).  Covers are computed in ONE Arrow UDF per segment row
+(flat-batch numpy; no per-sample explode reaches the plan).
+
+Exact predicate: orientation sign tests in the lat/lon plane — segments
+are straight in lat/lon, the same convention as the PIP refine's edges —
+entirely native (multiply/subtract only, so a DuckDB oracle replicating
+the arithmetic matches bit-for-bit):
+  proper crossing: endpoints of each segment strictly straddle the other;
+  touch: an endpoint lies ON the other segment (orientation 0 + bbox),
+         including collinear overlap — reported with kind='touch' and
+         excluded unless include_touches=True (road networks share nodes
+         at every junction by construction; those are touches, not
+         crossings).
+
+Scale notes: the corpus-side work is one Arrow cover pass + one shuffle
+on the cell key (both sides), with the predicate running native inside
+the join.  Fan-out per segment is ~len/step samples x O(1) cells — `step`
+defaults to the cell size at `res`, keeping per-sample disks at ring 1-2.
+Hot cells (dense urban grids) fan out to true candidate mass; AQE
+skew-join applies.  Long segments are loudly capped (`max_samples`) —
+pick a coarser res, don't silently explode.  Antimeridian-crossing
+segments raise executor-side (normalize the frame first, the engine-wide
+convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import hexgrid
+
+_M_PER_DEG = 111320.0
+DEFAULT_RES = 9
+
+
+def _step_deg(res: int) -> float:
+    """Sampling step ~ one hex circumradius at `res` (face-center scale);
+    the disk cover uses the SAME step as its radius, so coverage never
+    depends on this scale being tight — only the fanout does."""
+    radius_uv = hexgrid._res_frame(res)[0]
+    # uv unit ~ quarter circumference / 2 => 1 uv ~ 10^7 m; stay simple and
+    # conservative: face-center cell radius in meters.
+    return radius_uv * 1.0e7 / _M_PER_DEG
+
+
+def segment_cover_udf(res: int, step_deg: float, max_samples: int = 64):
+    """Arrow UDF: (lat1, lon1, lat2, lon2) -> array<long> distinct cells
+    covering every cell the segment passes through (see module doc)."""
+    cover_m = _M_PER_DEG * step_deg
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def seg_cover(lat1: pd.Series, lon1: pd.Series,
+                  lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        a1, o1 = lat1.to_numpy(np.float64), lon1.to_numpy(np.float64)
+        a2, o2 = lat2.to_numpy(np.float64), lon2.to_numpy(np.float64)
+        if len(a1) == 0:
+            return pd.Series([], dtype=object)
+        if np.any(np.abs(o2 - o1) > 180.0):
+            raise ValueError(
+                "segment spans >180 deg of longitude — normalize the "
+                "antimeridian frame before the intersection join"
+            )
+        span = np.maximum(np.abs(a2 - a1), np.abs(o2 - o1))
+        n = np.maximum(np.ceil(span / step_deg).astype(np.int64), 1)
+        if np.any(n + 1 > max_samples):
+            raise ValueError(
+                f"segment needs {int(n.max()) + 1} cover samples > "
+                f"max_samples={max_samples} at res={res}; use a coarser "
+                "res for long segments"
+            )
+        counts = n + 1
+        seg_idx = np.repeat(np.arange(len(a1)), counts)
+        # fraction k/n per sample, flat across the batch
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        k = np.arange(counts.sum(), dtype=np.int64) - np.repeat(offs, counts)
+        t = k / np.repeat(n, counts)
+        slat = np.repeat(a1, counts) + t * np.repeat(a2 - a1, counts)
+        slon = np.repeat(o1, counts) + t * np.repeat(o2 - o1, counts)
+        disks = hexgrid.disk_cells(slat, slon, cover_m, res)
+        lens = np.fromiter((len(d) for d in disks), dtype=np.int64,
+                           count=len(disks))
+        flat = (np.concatenate(disks) if len(disks)
+                else np.zeros(0, dtype=np.int64))
+        seg_of_cell = np.repeat(seg_idx, lens)
+        # distinct per segment: sort by (segment, cell), drop equal runs
+        order = np.lexsort((flat, seg_of_cell))
+        sc, cc = seg_of_cell[order], flat[order]
+        keep = np.ones(len(cc), dtype=bool)
+        keep[1:] = (cc[1:] != cc[:-1]) | (sc[1:] != sc[:-1])
+        sc, cc = sc[keep], cc[keep]
+        out = np.split(cc, np.searchsorted(sc, np.arange(1, len(a1))))
+        return pd.Series(out)
+
+    return seg_cover
+
+
+def _orient(px: Column, py: Column, qx: Column, qy: Column,
+            rx: Column, ry: Column) -> Column:
+    """Orientation of r relative to directed p->q: multiply/subtract only
+    (bitwise-deterministic across IEEE engines — the oracle convention)."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def _on_bbox(px, py, x1, y1, x2, y2) -> Column:
+    return (
+        (px >= F.least(x1, x2)) & (px <= F.greatest(x1, x2))
+        & (py >= F.least(y1, y2)) & (py <= F.greatest(y1, y2))
+    )
+
+
+def _pair_predicate(prefix_a: str, prefix_b: str):
+    """(kind, ix, iy) columns for one candidate pair; kind NULL when the
+    segments do not meet."""
+    ax1, ay1 = F.col(f"{prefix_a}lon1"), F.col(f"{prefix_a}lat1")
+    ax2, ay2 = F.col(f"{prefix_a}lon2"), F.col(f"{prefix_a}lat2")
+    bx1, by1 = F.col(f"{prefix_b}lon1"), F.col(f"{prefix_b}lat1")
+    bx2, by2 = F.col(f"{prefix_b}lon2"), F.col(f"{prefix_b}lat2")
+    d1 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    touch = (
+        ((d1 == 0) & _on_bbox(ax1, ay1, bx1, by1, bx2, by2))
+        | ((d2 == 0) & _on_bbox(ax2, ay2, bx1, by1, bx2, by2))
+        | ((d3 == 0) & _on_bbox(bx1, by1, ax1, ay1, ax2, ay2))
+        | ((d4 == 0) & _on_bbox(bx2, by2, ax1, ay1, ax2, ay2))
+    )
+    kind = F.when(proper, F.lit("proper")).when(touch, F.lit("touch"))
+    # proper-crossing point: a1 + t*(a2-a1) with t = d3 / (d3 - d4)
+    t = d3 / (d3 - d4)
+    ix = F.when(proper, ax1 + t * (ax2 - ax1))
+    iy = F.when(proper, ay1 + t * (ay2 - ay1))
+    return kind, iy, ix
+
+
+def _covered(segs: DataFrame, seg_id: str, prefix: str, res: int,
+             step: float, max_samples: int) -> DataFrame:
+    cov = segment_cover_udf(res, step, max_samples)
+    sel = segs.select(
+        F.col(seg_id).alias(f"{prefix}id"),
+        F.col("lat1").alias(f"{prefix}lat1"),
+        F.col("lon1").alias(f"{prefix}lon1"),
+        F.col("lat2").alias(f"{prefix}lat2"),
+        F.col("lon2").alias(f"{prefix}lon2"),
+    ).withColumn(
+        "__cells",
+        cov(F.col(f"{prefix}lat1"), F.col(f"{prefix}lon1"),
+            F.col(f"{prefix}lat2"), F.col(f"{prefix}lon2")),
+    )
+    # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
+    # size()>0 filter below the projection and re-run the cover UDF
+    # (the radius-join family's round-5 finding; same fix)
+    return sel.select(
+        f"{prefix}id", f"{prefix}lat1", f"{prefix}lon1",
+        f"{prefix}lat2", f"{prefix}lon2",
+        F.explode_outer("__cells").alias(f"__{prefix}cell"),
+    )
+
+
+def segment_intersection_join(
+    a: DataFrame,
+    b: DataFrame,
+    seg_id: str = "seg_id",
+    res: int = DEFAULT_RES,
+    include_touches: bool = False,
+    step_deg: float | None = None,
+    max_samples: int = 64,
+) -> DataFrame:
+    """All intersecting (a_id, b_id, kind, int_lat, int_lon) pairs between
+    two segment tables with columns (seg_id, lat1, lon1, lat2, lon2).
+
+    kind='proper' rows carry the crossing point; kind='touch' rows
+    (endpoint-on-segment / collinear overlap) carry NULL coordinates and
+    appear only with include_touches=True."""
+    step = _step_deg(res) if step_deg is None else float(step_deg)
+    ca = _covered(a, seg_id, "a_", res, step, max_samples)
+    cb = _covered(b, seg_id, "b_", res, step, max_samples)
+    cand = ca.join(cb, ca["__a_cell"] == cb["__b_cell"], "inner") \
+             .dropDuplicates(["a_id", "b_id"])
+    kind, iy, ix = _pair_predicate("a_", "b_")
+    out = cand.select(
+        F.col("a_id"), F.col("b_id"), kind.alias("kind"),
+        iy.alias("int_lat"), ix.alias("int_lon"),
+    ).filter(F.col("kind").isNotNull())
+    if not include_touches:
+        out = out.filter(F.col("kind") == "proper")
+    return out
+
+
+def segment_crossings(
+    segs: DataFrame,
+    seg_id: str = "seg_id",
+    res: int = DEFAULT_RES,
+    include_touches: bool = False,
+    step_deg: float | None = None,
+    max_samples: int = 64,
+) -> DataFrame:
+    """Self-join variant: unordered pairs (a_id < b_id) of segments from
+    ONE table that cross.  Junction-sharing segments meet at endpoints and
+    classify as 'touch' — excluded by default, so the default output is
+    exactly the unbridged-crossing QA signal."""
+    step = _step_deg(res) if step_deg is None else float(step_deg)
+    ca = _covered(segs, seg_id, "a_", res, step, max_samples)
+    cb = _covered(segs, seg_id, "b_", res, step, max_samples)
+    cand = ca.join(
+        cb,
+        (ca["__a_cell"] == cb["__b_cell"]) & (ca["a_id"] < cb["b_id"]),
+        "inner",
+    ).dropDuplicates(["a_id", "b_id"])
+    kind, iy, ix = _pair_predicate("a_", "b_")
+    out = cand.select(
+        F.col("a_id"), F.col("b_id"), kind.alias("kind"),
+        iy.alias("int_lat"), ix.alias("int_lon"),
+    ).filter(F.col("kind").isNotNull())
+    if not include_touches:
+        out = out.filter(F.col("kind") == "proper")
+    return out
