@@ -30,15 +30,16 @@ def test_sampled_queries_run(spark):
 
 
 def test_budget_retired_goldens_still_pinned(spark):
-    """hex_cell_counts, tile_render_raster, systematic_sample_hash and
-    minhash_near_dups left the 50-row driver budget round 5; their
-    frozen-golden regression gate moves here — the engine result at
-    sf0.01 must still match the committed fixture exactly (multiset of
-    rows)."""
+    """hex_cell_counts, tile_render_raster, systematic_sample_hash,
+    minhash_near_dups and doc_fingerprints left the 50-row driver budget
+    round 5; their frozen-golden regression gate moves here — the engine
+    result at sf0.01 must still match the committed fixture exactly
+    (multiset of rows)."""
     import pandas as pd
 
     for name in ["hex_cell_counts", "tile_render_raster",
-                 "systematic_sample_hash", "minhash_near_dups"]:
+                 "systematic_sample_hash", "minhash_near_dups",
+                 "doc_fingerprints"]:
         assert name in em._BUDGET_EXCLUDED
         got = em._ENGINE_QUERIES[name](
             spark, "/root/testdata/sf0.01").toPandas()
