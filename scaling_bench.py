@@ -150,6 +150,34 @@ print(json.dumps({{"cores": cores, "sec": round(dt, 3),
 spark.stop()
 """
 
+# Join-bound variant (round 5, fourth shape): triangle counting is two
+# big-big equi-joins (degree attach, wedge generation, wedge close) with
+# NOTHING broadcastable and NO Python — pure exchange+join throughput,
+# the shape of every big-big graph/self-join in the engine.  The wedge
+# join's output (~sum of oriented-out-degree^2) dominates; degree
+# orientation is what keeps it bounded.
+TRI_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmspark.session import build_session
+from osmspark.operators.graph import triangle_count
+
+cores = int(sys.argv[1]); edges_path = sys.argv[2]; n_edges = int(sys.argv[3])
+spark = build_session(f"scale-tri-{{cores}}", cores=cores)
+e = spark.read.parquet(edges_path).persist()
+e.count()
+# JIT warm-up on a slice, unmeasured (same code paths)
+triangle_count(e.filter(F.col("src") < 5000)).collect()
+t0 = time.time()
+n = triangle_count(e).collect()[0]["n_triangles"]
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 3),
+                   "edges_per_sec": round(n_edges / dt, 1),
+                   "n_triangles": n}}))
+spark.stop()
+"""
+
 # Null workload: perfectly parallel, zero-shuffle, zero-Python pure-JVM
 # codegen loop.  Its N-vs-4N efficiency IS the machine's parallel ceiling.
 NULL_CHILD = r"""
@@ -205,7 +233,8 @@ def run_null(cores: int) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     job = "pip"
-    for flag, name in (("--job=ivf", "ivf"), ("--job=bm25", "bm25")):
+    for flag, name in (("--job=ivf", "ivf"), ("--job=bm25", "bm25"),
+                       ("--job=tri", "tri")):
         if flag in sys.argv[1:]:
             job = name
     from osmspark.session import build_session
@@ -222,6 +251,25 @@ def main() -> None:
                     "(aggregation-exchange-bound: broadcast probe join is "
                     "map-side; cost is the (query,doc) partial+final "
                     "aggregate exchange + per-query top-k window)")
+    elif job == "tri":
+        n_units = int(args[0]) if args else 1_000_000
+        from bench import CACHE_ROOT
+        input_path = f"{CACHE_ROOT}/tri_edges_{n_units}"
+        if not os.path.exists(f"{input_path}/_SUCCESS"):
+            from pyspark.sql import functions as F
+            spark = build_session("scale-gen", cores=8)
+            spark.range(n_units).select(
+                F.pmod(F.xxhash64("id"), F.lit(n_units // 10)).alias("src"),
+                F.pmod(F.xxhash64(F.col("id") + 1_234_567),
+                       F.lit(n_units // 10)).alias("dst"),
+            ).write.mode("overwrite").parquet(input_path)
+            spark.stop()
+        child, unit_key, size_key = TRI_CHILD, "edges_per_sec", "n_edges"
+        artifact = "BENCH_SCALING_TRI.json"
+        job_desc = ("triangle counting, hash-wired graph, mean degree ~20 "
+                    "(join-bound: degree attach + wedge generation + wedge "
+                    "close are big-big exchanges, nothing broadcastable, "
+                    "zero Python)")
     elif job == "pip":
         n_units = int(args[0]) if args else 400_000
         from bench import ensure_docs

@@ -327,6 +327,78 @@ def main() -> None:
           lambda: cell_rollup_pyramid(
               pts_only, fine_res=9, coarse_res=6).count())
 
+    # zonal statistics: full 2.4M-point corpus against the 50-polygon dim
+    # — the two-phase shape under test: ONE groupBy(cell) pass, interior
+    # cover cells credited from cell aggregates, refine only on
+    # boundary-cell points.  Aggregated over every stat column so pruning
+    # cannot drop a leg.
+    from osmspark.datagen import gen_polygons
+    from osmspark.operators.zonal import zonal_stats
+
+    zpolys = gen_polygons(spark).persist()
+    zpolys.count()
+    zpts = nodes.select("lat", "lon", (F.col("lat") * 3.0).alias("val"))
+    bench("zonal_stats_2p4m_pts_50_polys",
+          lambda: zonal_stats(zpts, zpolys, value_col="val").agg(
+              F.sum("n_points"), F.sum("sum_v"), F.min("min_v"),
+              F.max("max_v")).collect())
+
+    # segment intersection join: 20k horizontal x 20k vertical ~100 m
+    # segments, verticals offset half a spacing so each crosses exactly
+    # one horizontal — 20k proper crossings, count asserted (a wrong
+    # candidate cover would under-count, not just slow down)
+    from osmspark.operators.intersect import segment_intersection_join
+
+    nrow, ncol = 100, 200
+    hseg = spark.range(nrow * ncol).select(
+        F.col("id").cast("string").alias("seg_id"),
+        (F.lit(1.2) + (F.col("id") % nrow) * F.lit(dy)).alias("lat1"),
+        (F.lit(103.6) + F.floor(F.col("id") / nrow) * F.lit(dx)).alias("lon1"),
+        (F.lit(1.2) + (F.col("id") % nrow) * F.lit(dy)).alias("lat2"),
+        (F.lit(103.6) + (F.floor(F.col("id") / nrow) + 1) * F.lit(dx))
+        .alias("lon2"),
+    ).persist()
+    vseg = spark.range(nrow * ncol).select(
+        F.col("id").cast("string").alias("seg_id"),
+        (F.lit(1.2) + ((F.col("id") % nrow) - 0.5) * F.lit(dy)).alias("lat1"),
+        (F.lit(103.6) + (F.floor(F.col("id") / nrow) + 0.5) * F.lit(dx))
+        .alias("lon1"),
+        (F.lit(1.2) + ((F.col("id") % nrow) + 0.5) * F.lit(dy)).alias("lat2"),
+        (F.lit(103.6) + (F.floor(F.col("id") / nrow) + 0.5) * F.lit(dx))
+        .alias("lon2"),
+    ).persist()
+    hseg.count(), vseg.count()
+    n_cross = segment_intersection_join(hseg, vseg).count()
+    assert n_cross == nrow * ncol, n_cross
+    bench("seg_intersection_20k_x_20k",
+          lambda: segment_intersection_join(hseg, vseg).count())
+
+    # zonal length: road-km per polygon over the REAL extracted way
+    # segments (exact clipping; candidate covers x 50-polygon dim)
+    from osmspark.operators.mapmatch import way_segments
+    from osmspark.operators.zonal import zonal_length
+
+    wsegs = way_segments(ways, nodes).select(
+        F.concat_ws("_", "way_id", "seg_idx").alias("seg_id"),
+        "lat1", "lon1", "lat2", "lon2").persist()
+    n_wsegs = wsegs.count()
+    bench("zonal_length_roadkm_50_polys",
+          lambda: zonal_length(wsegs, zpolys).agg(
+              F.sum("len_m"), F.sum("n_segments")).collect())
+
+    # triangle counting: 1M-edge hash-wired graph over 100k vertices
+    # (mean degree ~20) — two native joins after the degree orientation
+    from osmspark.operators.graph import triangle_count
+
+    tedges = spark.range(1_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 1_234_567), F.lit(100_000))
+        .alias("dst"),
+    ).persist()
+    tedges.count()
+    bench("triangle_count_1m_edges",
+          lambda: triangle_count(tedges).collect())
+
     out = {
         "metric": "round5_misc_ops_sec",
         "queries": results,
