@@ -659,6 +659,63 @@ def main() -> None:
          ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.zonal import zonal_stats
+
+    add(
+        "Zonal statistics (round 5 — two-phase: interior cells credit "
+        "cell aggregates, boundary points refine)",
+        zonal_stats(nodes.select("lat", "lon",
+                                 F.col("lat").alias("val")),
+                    polys, value_col="val", res=8),
+        [("exactly ONE Python node — the boundary refine; the interior "
+          "leg is pure native cell-aggregate credit "
+          "(formatted mode may repeat it in AQE initial/final trees)",
+          lambda p: 1 <= p.count("+- ArrowEvalPython") <= 2),
+         ("cover joins broadcast (the dim contract)",
+          lambda p: "BroadcastHashJoin" in p),
+         ("partial+final aggregates on the cell and polygon keys",
+          lambda p: "HashAggregate" in p),
+         ("no cartesian", lambda p: "Cartesian" not in p)],
+    )
+
+    from osmspark.operators.intersect import segment_intersection_join
+
+    iseg_a = spark.createDataFrame(
+        [("a", 1.30, 103.80, 1.30, 103.90)],
+        "seg_id string, lat1 double, lon1 double, lat2 double, lon2 double")
+    iseg_b = spark.createDataFrame(
+        [("b", 1.25, 103.85, 1.35, 103.85)],
+        "seg_id string, lat1 double, lon1 double, lat2 double, lon2 double")
+    add(
+        "Segment-segment intersection join (round 5 — line x line)",
+        segment_intersection_join(iseg_a, iseg_b),
+        [("TWO distinct Arrow cover UDF nodes (one per side; x2 when the "
+          "AQE initial plan repeats them), predicate fully native",
+          lambda p: len({m for m in __import__("re").findall(
+              r"ArrowEvalPython \((\d+)\)", p)}) in (2, 4)),
+         ("candidates are ONE equi-join on the cell key",
+          lambda p: "Join" in p and "Cartesian" not in p),
+         ("pair dedupe is a hash aggregate, not a sort",
+          lambda p: "HashAggregate" in p or "SortAggregate" in p),
+         ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
+    )
+
+    from osmspark.operators.graph import triangle_count
+
+    tri_edges = spark.range(1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100)).alias("dst"))
+    add(
+        "Triangle counting (round 5 — degree-ordered orientation)",
+        triangle_count(tri_edges),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("wedge close is a plain equi-join (hash/merge, no nested loop)",
+          lambda p: "BroadcastNestedLoop" not in p
+          and "Cartesian" not in p),
+         ("degree + dedupe are partial+final hash aggregates",
+          lambda p: "HashAggregate" in p)],
+    )
+
     out = io.StringIO()
     out.write(
         "# EXPLAINS — physical-plan audit (generated by "
