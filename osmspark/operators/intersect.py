@@ -165,20 +165,64 @@ def _pair_predicate(prefix_a: str, prefix_b: str):
     return kind, iy, ix
 
 
-def _covered(segs: DataFrame, seg_id: str, prefix: str, res: int,
-             step: float, max_samples: int) -> DataFrame:
+def with_segment_cover(
+    segs: DataFrame,
+    res: int = DEFAULT_RES,
+    step_deg: float | None = None,
+    max_samples: int = 256,
+    out_col: str = "seg_cells",
+) -> DataFrame:
+    """Write-once cover column for a segment LAYOUT: compute the sampled
+    disk cover one time (e.g. before parquet write); the intersection and
+    zonal-length joins accept it via their `cells_col` knobs and skip the
+    cover UDF entirely at query time — the storage-layout pattern the kNN
+    path established (knn_kring's points_cell_col)."""
+    step = _step_deg(res) if step_deg is None else float(step_deg)
     cov = segment_cover_udf(res, step, max_samples)
-    sel = segs.select(
+    return segs.withColumn(
+        out_col,
+        cov(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+    )
+
+
+def _validate_cells_col(df: DataFrame, cells_col: str, res: int) -> None:
+    """One cheap driver probe (the knn points_cell_col convention): a
+    cover column built at a different res would silently match NOTHING
+    through the equi-join — the engine's forbidden failure mode — so the
+    packed res bits of the first probe cell are checked loudly."""
+    probe = df.select(cells_col).first()
+    if probe is None or not probe[cells_col]:
+        return
+    got = (int(probe[cells_col][0]) >> 59) & 0xF
+    if got != res:
+        raise ValueError(
+            f"cells_col '{cells_col}' carries res={got} cells but the "
+            f"join runs at res={res}; rebuild the cover layout or pass "
+            "the matching res"
+        )
+
+
+def _covered(segs: DataFrame, seg_id: str, prefix: str, res: int,
+             step: float, max_samples: int,
+             cells_col: str | None = None) -> DataFrame:
+    base = segs.select(
         F.col(seg_id).alias(f"{prefix}id"),
         F.col("lat1").alias(f"{prefix}lat1"),
         F.col("lon1").alias(f"{prefix}lon1"),
         F.col("lat2").alias(f"{prefix}lat2"),
         F.col("lon2").alias(f"{prefix}lon2"),
-    ).withColumn(
-        "__cells",
-        cov(F.col(f"{prefix}lat1"), F.col(f"{prefix}lon1"),
-            F.col(f"{prefix}lat2"), F.col(f"{prefix}lon2")),
+        *([F.col(cells_col).alias("__cells")] if cells_col else []),
     )
+    if cells_col is not None:
+        _validate_cells_col(segs, cells_col, res)
+        sel = base
+    else:
+        cov = segment_cover_udf(res, step, max_samples)
+        sel = base.withColumn(
+            "__cells",
+            cov(F.col(f"{prefix}lat1"), F.col(f"{prefix}lon1"),
+                F.col(f"{prefix}lat2"), F.col(f"{prefix}lon2")),
+        )
     # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
     # size()>0 filter below the projection and re-run the cover UDF
     # (the radius-join family's round-5 finding; same fix)
@@ -197,16 +241,22 @@ def segment_intersection_join(
     include_touches: bool = False,
     step_deg: float | None = None,
     max_samples: int = 256,
+    a_cells_col: str | None = None,
+    b_cells_col: str | None = None,
 ) -> DataFrame:
     """All intersecting (a_id, b_id, kind, int_lat, int_lon) pairs between
     two segment tables with columns (seg_id, lat1, lon1, lat2, lon2).
 
     kind='proper' rows carry the crossing point; kind='touch' rows
     (endpoint-on-segment / collinear overlap) carry NULL coordinates and
-    appear only with include_touches=True."""
+    appear only with include_touches=True.
+
+    a_cells_col / b_cells_col: pre-computed cover columns from
+    `with_segment_cover` (a covered LAYOUT) — skips that side's cover UDF;
+    the packed res bits are probe-validated against `res`."""
     step = _step_deg(res) if step_deg is None else float(step_deg)
-    ca = _covered(a, seg_id, "a_", res, step, max_samples)
-    cb = _covered(b, seg_id, "b_", res, step, max_samples)
+    ca = _covered(a, seg_id, "a_", res, step, max_samples, a_cells_col)
+    cb = _covered(b, seg_id, "b_", res, step, max_samples, b_cells_col)
     cand = ca.join(cb, ca["__a_cell"] == cb["__b_cell"], "inner") \
              .dropDuplicates(["a_id", "b_id"])
     kind, iy, ix = _pair_predicate("a_", "b_")
@@ -226,14 +276,18 @@ def segment_crossings(
     include_touches: bool = False,
     step_deg: float | None = None,
     max_samples: int = 256,
+    cells_col: str | None = None,
 ) -> DataFrame:
     """Self-join variant: unordered pairs (a_id < b_id) of segments from
     ONE table that cross.  Junction-sharing segments meet at endpoints and
     classify as 'touch' — excluded by default, so the default output is
-    exactly the unbridged-crossing QA signal."""
+    exactly the unbridged-crossing QA signal.
+
+    cells_col: a `with_segment_cover` layout column — both sides of the
+    self-join skip the cover UDF."""
     step = _step_deg(res) if step_deg is None else float(step_deg)
-    ca = _covered(segs, seg_id, "a_", res, step, max_samples)
-    cb = _covered(segs, seg_id, "b_", res, step, max_samples)
+    ca = _covered(segs, seg_id, "a_", res, step, max_samples, cells_col)
+    cb = _covered(segs, seg_id, "b_", res, step, max_samples, cells_col)
     cand = ca.join(
         cb,
         (ca["__a_cell"] == cb["__b_cell"]) & (ca["a_id"] < cb["b_id"]),

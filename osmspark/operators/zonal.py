@@ -278,6 +278,7 @@ def zonal_length(
     seg_id: str = "seg_id",
     res: int = DEFAULT_COVER_RES,
     pairs: bool = False,
+    seg_cells_col: str | None = None,
 ) -> DataFrame:
     """Road-kilometers per polygon: EXACT clipped length of latlon-straight
     segments inside each polygon.
@@ -302,7 +303,7 @@ def zonal_length(
     shortcut (a cell-level length pre-aggregate would need segments
     clipped per CELL — strictly more work than clipping per polygon).
     The polygon dim broadcasts by contract."""
-    from .intersect import _step_deg, segment_cover_udf
+    from .intersect import _step_deg, _validate_cells_col, segment_cover_udf
 
     spark = segs.sparkSession
     covers, rings_by_id = _covers_and_rings(polys, res)
@@ -310,14 +311,24 @@ def zonal_length(
         [(p, c) for p, c, _ in covers], "poly_id string, cell long"))
     bc = spark.sparkContext.broadcast(rings_by_id)
 
-    cov = segment_cover_udf(res, _step_deg(res))
-    s = segs.select(
-        F.col(seg_id).alias("seg_id"),
-        "lat1", "lon1", "lat2", "lon2",
-    ).withColumn(
-        "__cells",
-        cov(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
-    ).select(
+    if seg_cells_col is not None:
+        # pre-covered layout (intersect.with_segment_cover): no cover UDF
+        _validate_cells_col(segs, seg_cells_col, res)
+        pre = segs.select(
+            F.col(seg_id).alias("seg_id"),
+            "lat1", "lon1", "lat2", "lon2",
+            F.col(seg_cells_col).alias("__cells"),
+        )
+    else:
+        cov = segment_cover_udf(res, _step_deg(res))
+        pre = segs.select(
+            F.col(seg_id).alias("seg_id"),
+            "lat1", "lon1", "lat2", "lon2",
+        ).withColumn(
+            "__cells",
+            cov(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+        )
+    s = pre.select(
         "seg_id", "lat1", "lon1", "lat2", "lon2",
         F.explode_outer("__cells").alias("__cell"),
     )

@@ -162,3 +162,63 @@ def test_plan_shape(spark):
     assert "Cartesian" not in plan
     # exactly the two cover UDFs; the predicate is native
     assert plan.count("ArrowEvalPython") == 2
+
+
+def test_precovered_layout_path(spark, tmp_path):
+    """with_segment_cover layout column written to parquet (the
+    write-once layout): identical results through the cells_col path,
+    cover UDF absent from the query-time plan, wrong-res raises."""
+    import pytest as _pytest
+    from osmspark.operators.intersect import with_segment_cover
+    from osmspark.operators.zonal import zonal_length
+
+    rng = np.random.default_rng(17)
+    ra = _rand_segs(rng, 200, 1.0, 103.0, 0.2, 0.02)
+    rb = _rand_segs(rng, 200, 1.0, 103.0, 0.2, 0.02)
+    a, b = _mk(spark, ra), _mk(spark, rb)
+    with_segment_cover(a, res=9).write.mode("overwrite").parquet(
+        str(tmp_path / "a_cov"))
+    a_cov = spark.read.parquet(str(tmp_path / "a_cov"))
+    plain = {(r["a_id"], r["b_id"], r["kind"]) for r in
+             segment_intersection_join(a, b, include_touches=True).collect()}
+    layout = {(r["a_id"], r["b_id"], r["kind"]) for r in
+              segment_intersection_join(
+                  a_cov, b, include_touches=True,
+                  a_cells_col="seg_cells").collect()}
+    assert plain == layout and len(plain) > 10
+    # the a-side cover UDF is gone: only ONE ArrowEvalPython remains
+    plan = segment_intersection_join(
+        a_cov, b, a_cells_col="seg_cells") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    # both sides pre-covered -> zero Python in the query-time plan
+    with_segment_cover(b, res=9).write.mode("overwrite").parquet(
+        str(tmp_path / "b_cov"))
+    b_cov = spark.read.parquet(str(tmp_path / "b_cov"))
+    plan2 = segment_intersection_join(
+        a_cov, b_cov, a_cells_col="seg_cells", b_cells_col="seg_cells") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan2
+    both = {(r["a_id"], r["b_id"], r["kind"]) for r in
+            segment_intersection_join(
+                a_cov, b_cov, include_touches=True,
+                a_cells_col="seg_cells", b_cells_col="seg_cells").collect()}
+    assert both == plain
+    # wrong res raises loudly instead of silently matching nothing
+    with _pytest.raises(ValueError, match="res="):
+        segment_intersection_join(a_cov, b, res=8,
+                                  a_cells_col="seg_cells")
+    # zonal_length accepts the same layout column
+    polys = spark.createDataFrame(
+        [("box", "admin",
+          [{"lat": la, "lon": lo} for la, lo in
+           [(1.0, 103.0), (1.0, 103.2), (1.2, 103.2), (1.2, 103.0),
+            (1.0, 103.0)]], None)],
+        schema="poly_id string, level string, "
+               "ring array<struct<lat:double,lon:double>>, postcode string")
+    zl_plain = {(r["seg_id"], r["poly_id"]): r["len_in_m"] for r in
+                zonal_length(a, polys, res=9, pairs=True).collect()}
+    zl_layout = {(r["seg_id"], r["poly_id"]): r["len_in_m"] for r in
+                 zonal_length(a_cov, polys, res=9, pairs=True,
+                              seg_cells_col="seg_cells").collect()}
+    assert zl_plain == zl_layout and len(zl_plain) > 0
