@@ -397,3 +397,43 @@ def despike(traj: DataFrame, max_speed: float,
     flagged = spike_flags(traj, max_speed, traj_col=traj_col,
                           ts_col=ts_col, metric=metric)
     return flagged.where(~F.col("is_spike")).drop("is_spike")
+
+
+def od_matrix(traj: DataFrame, res: int = 8,
+              traj_col: str = "traj_id", ts_col: str = "ts",
+              lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Origin-destination flow matrix: (origin_cell, dest_cell, n_trips)
+    — each trajectory contributes ONE trip from the hex cell of its first
+    fix to the cell of its last.
+
+    The per-trajectory endpoints come from ONE aggregate of
+    min/max(struct(ts, lat, lon)) — the struct ordering is the engine's
+    trajectory determinism convention (equal timestamps tie-break on
+    coordinates, never on shuffle arrival) — followed by native cell
+    assignment on the four endpoint coordinates and one final group-count:
+    two map-side-combinable exchanges total, zero Python, no window.
+    NULL-timestamp fixes are excluded (the sessionize convention: Spark's
+    nulls-first ordering would otherwise elect every NULL fix as an
+    origin); a trajectory with a single fix maps to its diagonal cell
+    pair, which is real information (a stationary trip), not an error."""
+    from ..functions import hexgrid
+
+    ends = traj.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.col(traj_col).alias("traj_id")
+    ).agg(
+        F.min(F.struct(F.col(ts_col).alias("ts"),
+                       F.col(lat).alias("lat"),
+                       F.col(lon).alias("lon"))).alias("o"),
+        F.max(F.struct(F.col(ts_col).alias("ts"),
+                       F.col(lat).alias("lat"),
+                       F.col(lon).alias("lon"))).alias("d"),
+    ).select(
+        F.col("o.lat").alias("olat"), F.col("o.lon").alias("olon"),
+        F.col("d.lat").alias("dlat"), F.col("d.lon").alias("dlon"),
+    )
+    ends = hexgrid.with_hex_cell(ends, res, lat="olat", lon="olon",
+                                 out_col="origin_cell")
+    ends = hexgrid.with_hex_cell(ends, res, lat="dlat", lon="dlon",
+                                 out_col="dest_cell")
+    return ends.groupBy("origin_cell", "dest_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"))

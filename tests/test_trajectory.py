@@ -229,3 +229,64 @@ def test_hausdorff_guard_and_metric(spark):
         tj.hausdorff_pairs(df, pairs, metric="euclid")
     with pytest.raises(Exception, match="max_traj_rows"):
         tj.hausdorff_pairs(df, pairs, max_traj_rows=1).collect()
+
+
+# --- OD matrix --------------------------------------------------------------
+
+def test_od_matrix_vs_python_oracle(spark):
+    """Random-walk trajectories + crafted edge cases vs a python oracle
+    that picks endpoints by the same (ts, lat, lon) ordering and maps
+    them through the engine's (separately tested) cell function."""
+    import numpy as np
+    from osmspark.functions import hexgrid
+    from osmspark.operators.trajectory import od_matrix
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for t in range(40):
+        n = int(rng.integers(1, 12))   # incl. single-fix trips
+        base_la = 1.0 + rng.uniform(0, 0.5)
+        base_lo = 103.0 + rng.uniform(0, 0.5)
+        for i in range(n):
+            rows.append((f"t{t}", float(i // 3),  # duplicate timestamps
+                         float(base_la + rng.uniform(-0.05, 0.05)),
+                         float(base_lo + rng.uniform(-0.05, 0.05))))
+    rows.append(("null_ts", None, 1.2, 103.2))   # excluded entirely
+    rows.append(("null_ts", 5.0, 1.3, 103.3))    # its only real fix
+    traj = spark.createDataFrame(
+        rows, schema="traj_id string, ts double, lat double, lon double")
+    got = {(r["origin_cell"], r["dest_cell"]): r["n_trips"]
+           for r in od_matrix(traj, res=8).collect()}
+
+    by_traj = {}
+    for tid, ts, la, lo in rows:
+        if ts is None:
+            continue
+        by_traj.setdefault(tid, []).append((ts, la, lo))
+    exp = {}
+    for tid, fixes in by_traj.items():
+        o = min(fixes)
+        d = max(fixes)
+        oc = int(hexgrid.latlon_to_cell(
+            np.array([o[1]]), np.array([o[2]]), 8)[0])
+        dc = int(hexgrid.latlon_to_cell(
+            np.array([d[1]]), np.array([d[2]]), 8)[0])
+        exp[(oc, dc)] = exp.get((oc, dc), 0) + 1
+    assert got == exp
+    assert sum(got.values()) == len(by_traj)
+
+
+def test_od_matrix_single_fix_diagonal_and_plan(spark):
+    from osmspark.operators.trajectory import od_matrix
+
+    traj = spark.createDataFrame(
+        [("solo", 1.0, 1.25, 103.25)],
+        schema="traj_id string, ts double, lat double, lon double")
+    rows = od_matrix(traj, res=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["origin_cell"] == rows[0]["dest_cell"]
+    assert rows[0]["n_trips"] == 1
+    plan = od_matrix(traj, res=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
