@@ -386,6 +386,17 @@ def main() -> None:
           lambda: zonal_length(wsegs, zpolys).agg(
               F.sum("len_m"), F.sum("n_segments")).collect())
 
+    # nearest-polygon join: full corpus reverse-geocoded against the
+    # 50-polygon dim at ~2.2 km degree radius (disk cells + broadcast
+    # cover join + factorized distance refine + one argmin aggregate)
+    from osmspark.operators.nearest import nearest_polygon
+
+    bench("nearest_polygon_2p4m_pts",
+          lambda: nearest_polygon(
+              nodes.select("id", "lat", "lon"), zpolys,
+              radius_deg=0.02, res=8).agg(
+                  F.count(F.lit(1)), F.sum("dist_deg")).collect())
+
     # triangle counting: 1M-edge hash-wired graph over 100k vertices
     # (mean degree ~20) — two native joins after the degree orientation
     from osmspark.operators.graph import triangle_count

@@ -700,6 +700,24 @@ def main() -> None:
          ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.nearest import nearest_polygon
+
+    add(
+        "Nearest-polygon join (round 5 — reverse geocode with distance)",
+        nearest_polygon(nodes.select("id", "lat", "lon"), polys,
+                        radius_deg=0.02, res=8),
+        [("the interior leg (dist 0) is pure native; Python appears only "
+          "as the boundary kernel, the disk cells, and the outside "
+          "kernel — and the radius cut rides the post-aggregate scalar, "
+          "so no kernel is double-evaluated under a pushed filter "
+          "(observed and fixed)",
+          lambda p: "Filter (pythonUDF" not in p),
+         ("cover join broadcast", lambda p: "BroadcastHashJoin" in p),
+         ("argmin is one min-struct hash aggregate",
+          lambda p: "HashAggregate" in p),
+         ("no cartesian", lambda p: "Cartesian" not in p)],
+    )
+
     from osmspark.operators.graph import triangle_count
 
     tri_edges = spark.range(1000).select(
