@@ -71,10 +71,17 @@ def _step_deg(res: int) -> float:
     return radius_uv * 2.5e6 / _M_PER_DEG
 
 
-def segment_cover_udf(res: int, step_deg: float, max_samples: int = 256):
+def segment_cover_udf(res: int, step_deg: float, max_samples: int = 256,
+                      buffer_m: float = 0.0):
     """Arrow UDF: (lat1, lon1, lat2, lon2) -> array<long> distinct cells
-    covering every cell the segment passes through (see module doc)."""
-    cover_m = _M_PER_DEG * step_deg
+    covering every cell the segment passes through (see module doc).
+
+    buffer_m > 0 widens the cover to every cell containing a point
+    within buffer_m meters of the segment — the streaming crossings
+    operator buffers its STATIC side by the stream's max segment span so
+    a stream row needs only its single midpoint cell (meet-at-most-once,
+    no stateful dedup)."""
+    cover_m = _M_PER_DEG * step_deg + float(buffer_m)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def seg_cover(lat1: pd.Series, lon1: pd.Series,
@@ -171,6 +178,7 @@ def with_segment_cover(
     step_deg: float | None = None,
     max_samples: int = 256,
     out_col: str = "seg_cells",
+    buffer_m: float = 0.0,
 ) -> DataFrame:
     """Write-once cover column for a segment LAYOUT: compute the sampled
     disk cover one time (e.g. before parquet write); the intersection and
@@ -178,7 +186,7 @@ def with_segment_cover(
     cover UDF entirely at query time — the storage-layout pattern the kNN
     path established (knn_kring's points_cell_col)."""
     step = _step_deg(res) if step_deg is None else float(step_deg)
-    cov = segment_cover_udf(res, step, max_samples)
+    cov = segment_cover_udf(res, step, max_samples, buffer_m=buffer_m)
     return segs.withColumn(
         out_col,
         cov(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),

@@ -187,3 +187,89 @@ def streaming_radius_counts(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "query_id", "cnt")
     )
+
+
+def streaming_segment_crossings(
+    segs_stream: DataFrame,
+    segs_static: DataFrame,
+    res: int = 9,
+    max_stream_span_deg: float = 0.01,
+    include_touches: bool = False,
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """Streaming segment-segment intersection: a stream of segments (CDC
+    way edits, GPS-derived edges) matched against a STATIC segment table
+    — one row per intersecting (a_id = stream, b_id = static) pair, the
+    batch operator's output schema.
+
+    Two structural adaptations make the batch join stream STATELESSLY:
+
+    1. The stream side carries ONE native cell — its midpoint's home
+       cell (no Arrow UDF on the stream, no explode).  The STATIC side's
+       cover is widened by `buffer_m = M_PER_DEG * max_stream_span_deg`:
+       an intersection point P sits on both segments, the stream
+       midpoint is within that buffer of P, so the midpoint's cell lands
+       inside the static segment's buffered cover — candidate
+       completeness holds with a SINGLE stream cell.  Cover cells are
+       distinct per static segment, so every pair meets AT MOST ONCE:
+       no dropDuplicates, hence no streaming dedup state at all.
+    2. The static side's cover UDF is materialized eagerly
+       (localCheckpoint) — the engine's stream-static rule: an Arrow UDF
+       left inside the static subplan deadlocks the micro-batch
+       (observed round 4); with the cover precomputed the join is a
+       plain stream-static broadcast equi-join + a fully native
+       predicate.
+
+    Stream segments wider than `max_stream_span_deg` (degrees, per axis)
+    would break the single-cell completeness argument — they raise
+    executor-side, riding the mid_lat column the join always consumes
+    (pruning-proof), never silently drop."""
+    from ..functions.hexgrid import with_hex_cell
+    from ..operators.intersect import (
+        _M_PER_DEG,
+        _pair_predicate,
+        with_segment_cover,
+    )
+
+    buffered = with_segment_cover(
+        segs_static, res=res,
+        buffer_m=_M_PER_DEG * float(max_stream_span_deg))
+    static_cells = buffered.select(
+        F.col(seg_id).alias("b_id"),
+        F.col("lat1").alias("b_lat1"), F.col("lon1").alias("b_lon1"),
+        F.col("lat2").alias("b_lat2"), F.col("lon2").alias("b_lon2"),
+        F.explode_outer("seg_cells").alias("__cell"),
+    ).localCheckpoint(eager=True)
+
+    span = F.greatest(
+        F.abs(F.col("lat2") - F.col("lat1")),
+        F.abs(F.col("lon2") - F.col("lon1")))
+    mid_lat = F.when(
+        span > F.lit(float(max_stream_span_deg)),
+        F.raise_error(F.concat(
+            F.lit("streaming_segment_crossings: stream segment spans "),
+            span.cast("string"),
+            F.lit(f" deg > max_stream_span_deg={max_stream_span_deg}; "
+                  "raise the bound (and the static buffer) or split "
+                  "long segments"),
+        )).cast("double"),
+    ).otherwise((F.col("lat1") + F.col("lat2")) / 2)
+    s = segs_stream.select(
+        F.col(seg_id).alias("a_id"),
+        F.col("lat1").alias("a_lat1"), F.col("lon1").alias("a_lon1"),
+        F.col("lat2").alias("a_lat2"), F.col("lon2").alias("a_lon2"),
+        mid_lat.alias("__mlat"),
+        ((F.col("lon1") + F.col("lon2")) / 2).alias("__mlon"),
+    )
+    s = with_hex_cell(s, res, lat="__mlat", lon="__mlon",
+                      out_col="__scell")
+    cand = s.join(F.broadcast(static_cells),
+                  s["__scell"] == static_cells["__cell"], "inner")
+    kind, iy, ix = _pair_predicate("a_", "b_")
+    out = cand.select(
+        F.col("a_id"), F.col("b_id"), kind.alias("kind"),
+        iy.alias("int_lat"), ix.alias("int_lon"),
+    ).filter(F.col("kind").isNotNull())
+    if not include_touches:
+        out = out.filter(F.col("kind") == "proper")
+    return out

@@ -468,3 +468,68 @@ def test_streaming_asof_enrich_duplicate_right_ts_tiebreak(tmp_path, spark):
         assert rows[(k, 50)]["price_right"] == 20.0 + k
         assert rows[(k, 50)]["tag_right"] == "top"
         assert rows[(k, 10)]["price_right"] is None  # no right at/before 10
+
+
+def test_streaming_segment_crossings_equals_batch(spark, tmp_path):
+    """The segment intersection join streams with a SINGLE native
+    midpoint cell on the stream side (static cover buffered by the
+    stream's max span): pair set equals the batch operator on the same
+    input, with no dedup state; over-span stream segments raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmspark.operators.intersect import segment_intersection_join
+    from osmspark.streaming import spatial as sp
+
+    rng = np.random.default_rng(29)
+
+    def rand_segs(n, max_len):
+        rows = []
+        for i in range(n):
+            la = 1.0 + rng.uniform(0, 0.2)
+            lo = 103.0 + rng.uniform(0, 0.2)
+            rows.append((f"s{i}", float(la), float(lo),
+                         float(la + rng.uniform(-max_len, max_len)),
+                         float(lo + rng.uniform(-max_len, max_len))))
+        return rows
+
+    schema = ("seg_id string, lat1 double, lon1 double, "
+              "lat2 double, lon2 double")
+    static_rows = rand_segs(400, 0.03)      # static side: any length
+    stream_rows = rand_segs(400, 0.009)     # stream side: bounded span
+    static = spark.createDataFrame(static_rows, schema=schema)
+    src = str(tmp_path / "seg_stream")
+    spark.createDataFrame(stream_rows, schema=schema) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    got = {(r["a_id"], r["b_id"], r["kind"]) for r in ev.run_to_memory(
+        sp.streaming_segment_crossings(
+            stream, static, res=9, max_stream_span_deg=0.01,
+            include_touches=True),
+        "t_segx").collect()}
+    exp = {(r["a_id"], r["b_id"], r["kind"]) for r in
+           segment_intersection_join(
+               spark.read.parquet(src), static,
+               include_touches=True, res=9).collect()}
+    assert got == exp and len(exp) > 20
+
+    # meet-at-most-once without dedup state: no pair appears twice
+    raw = ev.run_to_memory(
+        sp.streaming_segment_crossings(
+            stream, static, res=9, max_stream_span_deg=0.01,
+            include_touches=True),
+        "t_segx2").groupBy("a_id", "b_id").count().collect()
+    assert all(r["count"] == 1 for r in raw)
+
+    # an over-span stream segment raises (riding a consumed column)
+    bad_src = str(tmp_path / "seg_stream_bad")
+    spark.createDataFrame(
+        [("wide", 1.0, 103.0, 1.0, 103.5)], schema=schema
+    ).write.mode("overwrite").parquet(bad_src)
+    bad = spark.readStream.schema(schema).parquet(bad_src)
+    with _pytest.raises(Exception, match="max_stream_span_deg"):
+        ev.run_to_memory(
+            sp.streaming_segment_crossings(
+                bad, static, res=9, max_stream_span_deg=0.01),
+            "t_segx_bad").collect()
