@@ -193,3 +193,109 @@ def test_morans_i_sign_and_degenerate(spark):
         assert urow["i"] is None and urow["z"] is None
     with pytest.raises(ValueError, match="k must"):
         morans_i(df, res=9, k=0)
+
+
+# --- space-time Gi* (emerging hot spots) ------------------------------------
+
+def _st_oracle(pts, res, bucket_s, k, tn):
+    """(cell, tb) -> (x, w, wx, z) with the space-time-cube neighborhood."""
+    cells = hexgrid.latlon_to_cell(
+        np.array([p[0] for p in pts]), np.array([p[1] for p in pts]), res)
+    x = {}
+    for i, c in enumerate(cells):
+        tb = int(pts[i][2] // bucket_s)
+        key = (int(c), tb)
+        x[key] = x.get(key, 0.0) + 1.0
+    n = len(x)
+    xs = np.array(list(x.values()))
+    mean = xs.mean()
+    s = math.sqrt((xs * xs).mean() - mean * mean)
+    occupied = set(x)
+    out = {}
+    for (c, tb), xi in x.items():
+        ring = set(int(v) for v in hexgrid.kring(np.array([c]), k)[0])
+        nbs = {(j, tb + dt) for j in ring
+               for dt in range(-tn, tn + 1)} & occupied
+        w = len(nbs)
+        wx = sum(x[b] for b in nbs)
+        var = (n * w - w * w) / (n - 1) if n > 1 else 0.0
+        z = ((wx - mean * w) / (s * math.sqrt(var))
+             if n > 1 and s > 0 and var > 0 else None)
+        out[(c, tb)] = (xi, w, wx, z)
+    return out
+
+
+def test_gi_star_spacetime_matches_python_oracle(spark):
+    from osmspark.operators.tiles import gi_star_spacetime
+
+    rng = random.Random(47)
+    pts = [(1.29 + rng.random() * 0.02, 103.79 + rng.random() * 0.02,
+            rng.random() * 3600.0 * 6) for _ in range(400)]
+    df = spark.createDataFrame(pts, "lat double, lon double, ts double")
+    got = {(r["cell"], r["t_bucket"]): (r["x"], r["w"], r["wx"], r["z"])
+           for r in gi_star_spacetime(df, res=8, bucket_s=3600.0,
+                                      k=1, t_neighbors=1).collect()}
+    exp = _st_oracle(pts, 8, 3600.0, 1, 1)
+    assert set(got) == set(exp)
+    for b in exp:
+        assert got[b][0] == exp[b][0]
+        assert got[b][1] == exp[b][1]
+        assert abs(got[b][2] - exp[b][2]) < 1e-9
+        if exp[b][3] is None:
+            assert got[b][3] is None
+        else:
+            assert abs(got[b][3] - exp[b][3]) < 1e-9
+    # the fixture exercises real time structure: multiple buckets per cell
+    assert len({tb for _, tb in exp}) >= 4
+
+
+def test_gi_star_spacetime_burst_detection(spark):
+    """A localized burst in ONE time bucket outscores the same location's
+    other buckets — the emerging-hot-spot signal the pure-spatial Gi*
+    cannot express."""
+    from osmspark.operators.tiles import gi_star_spacetime
+
+    rng = random.Random(5)
+    pts = [(1.29 + rng.random() * 0.02, 103.79 + rng.random() * 0.02,
+            rng.random() * 4 * 3600.0) for _ in range(200)]
+    # burst: 80 extra points at one spot inside hour 2
+    pts += [(1.3001 + rng.random() * 1e-4, 103.8001 + rng.random() * 1e-4,
+             2 * 3600.0 + rng.random() * 3600.0) for _ in range(80)]
+    df = spark.createDataFrame(pts, "lat double, lon double, ts double")
+    rows = gi_star_spacetime(df, res=10, bucket_s=3600.0,
+                             k=1, t_neighbors=1).collect()
+    burst_cell = int(hexgrid.latlon_to_cell(
+        np.array([1.30015]), np.array([103.80015]), 10)[0])
+    zs = {(r["cell"], r["t_bucket"]): r["z"] for r in rows
+          if r["z"] is not None}
+    best = max(zs, key=zs.get)
+    # Gi* includes the whole space-time neighborhood, so the max-z bin
+    # may be the burst bin or any (spatial ring) x (t +- 1) neighbor —
+    # but never outside the burst's neighborhood
+    ring = {int(v) for v in hexgrid.kring(np.array([burst_cell]), 1)[0]}
+    assert best[0] in ring and best[1] in (1, 2, 3)
+    # and the burst bin itself is an extreme hot spot in absolute terms
+    assert zs[(burst_cell, 2)] > 5.0
+    # null ts excluded, not counted
+    df2 = df.unionByName(spark.createDataFrame(
+        [(1.3001, 103.8001, None)], "lat double, lon double, ts double"))
+    rows2 = gi_star_spacetime(df2, res=10, bucket_s=3600.0,
+                              k=1, t_neighbors=1).collect()
+    assert sum(r["x"] for r in rows2) == sum(r["x"] for r in rows)
+
+
+def test_gi_star_spacetime_guards_and_plan(spark):
+    from osmspark.operators.tiles import gi_star_spacetime
+
+    df = spark.createDataFrame(
+        [(1.29, 103.79, 0.0)], "lat double, lon double, ts double")
+    for bad in (dict(k=0), dict(t_neighbors=-1), dict(bucket_s=0.0)):
+        import pytest as _pytest
+        kw = dict(res=8, bucket_s=3600.0, k=1, t_neighbors=1)
+        kw.update(bad)
+        with _pytest.raises(ValueError):
+            gi_star_spacetime(df, **kw)
+    plan = gi_star_spacetime(df, res=8, bucket_s=3600.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
