@@ -700,6 +700,25 @@ def main() -> None:
          ("no row-wise python", lambda p: "BatchEvalPython" not in p)],
     )
 
+    from osmspark.operators.tiles import gi_star_spacetime
+
+    add(
+        "Space-time Gi* (round 5 — emerging hot spots over "
+        "(cell, bucket) bins)",
+        gi_star_spacetime(
+            nodes.select("lat", "lon",
+                         (F.xxhash64("id") % 86400).cast("double")
+                         .alias("ts")),
+            res=8, bucket_s=3600.0, k=1, t_neighbors=1,
+            strict_seam=False),
+        [("ZERO Python", lambda p: "EvalPython" not in p),
+         ("one (d_cell, d_t) stencil explode + one groupBy on the bin "
+          "key", lambda p: "Generate" in p and "HashAggregate" in p),
+         ("global moments broadcast as a one-row crossJoin",
+          lambda p: "BroadcastNestedLoopJoin" in p
+          or "BroadcastExchange" in p)],
+    )
+
     from osmspark.operators.nearest import nearest_polygon
 
     add(
