@@ -126,3 +126,63 @@ def clustering_coefficient(
             / (F.col("deg") * (F.col("deg") - F.lit(1))),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """(vertex, deg): the k-core of the undirected simple graph — the
+    maximal subgraph where every vertex keeps degree >= k — with each
+    survivor's degree INSIDE the core.  The standard peel: repeatedly
+    drop vertices of degree < k; the fixpoint is unique (independent of
+    removal order), so the loop is a pure function of (edges, k).
+
+    Loop discipline (the engine's graph-loop conventions): per round ONE
+    degree aggregate + ONE semi-join pass filtering edges to surviving
+    endpoints, the edge frame localCheckpointed each round with the
+    superseded round's blocks released, and ONE scalar driver action
+    (the surviving-edge count).  Rounds needed = peel depth (<= the
+    degeneracy ordering's layer count, typically tens); a graph still
+    peeling at `max_iter` raises loudly rather than returning a
+    non-core.
+
+    k <= 1 returns every non-isolated vertex (isolated vertices never
+    appear in an edge table); self-loops and duplicate/reverse edges
+    collapse as in triangle_count."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    n_edges = e.count()
+    prev = None
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("lo").alias("v"))
+            .unionAll(e.select(F.col("hi").alias("v")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "lo"), "lo", "left_semi")
+             .join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
+        ).localCheckpoint()
+        n2 = e2.count()
+        e.unpersist()
+        e, prev, n_edges = e2, n_edges, n2
+        if n2 == prev:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core: still peeling after max_iter={max_iter} rounds; "
+            "raise max_iter for very deep peel sequences"
+        )
+    return (
+        e.select(F.col("lo").alias("vertex"))
+        .unionAll(e.select(F.col("hi").alias("vertex")))
+        .groupBy("vertex").agg(F.count(F.lit(1)).alias("deg"))
+    )

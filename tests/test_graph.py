@@ -101,3 +101,64 @@ def test_plan_shape(spark):
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Python" not in plan
+
+
+# --- k-core ------------------------------------------------------------------
+
+def _py_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_k_core_vs_python_oracle(spark):
+    from osmspark.operators.graph import k_core
+
+    rng = np.random.default_rng(9)
+    pairs = [(f"v{int(a)}", f"v{int(b)}")
+             for a, b in rng.integers(0, 80, size=(300, 2))]
+    e = _mk(spark, pairs)
+    for k in (2, 3, 4):
+        got = {r["vertex"]: r["deg"] for r in k_core(e, k).collect()}
+        assert got == _py_kcore(pairs, k), k
+    assert len(_py_kcore(pairs, 3)) > 5   # fixture exercises real peeling
+
+
+def test_k_core_closed_forms_and_deep_peel(spark):
+    from osmspark.operators.graph import k_core
+
+    # triangle with a tail: the 2-core is exactly the triangle
+    tri_tail = _mk(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                           ("c", "d"), ("d", "e")])
+    got = {r["vertex"]: r["deg"] for r in k_core(tri_tail, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # K4 + pendant: 3-core = K4
+    k4p = _mk(spark, [(a, b) for a in "abcd" for b in "abcd" if a < b]
+              + [("d", "p")])
+    got = {r["vertex"]: r["deg"] for r in k_core(k4p, 3).collect()}
+    assert got == {v: 3 for v in "abcd"}
+    # a 24-node path peels one layer per round from each end: the 2-core
+    # is empty and the loop must run ~n/2 rounds to find that out
+    path = _mk(spark, [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(23)])
+    assert k_core(path, 2).count() == 0
+    # k=1 on an edge table is the identity vertex set
+    got1 = {r["vertex"] for r in k_core(tri_tail, 1).collect()}
+    assert got1 == {"a", "b", "c", "d", "e"}
+    # loud non-convergence guard
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        k_core(path, 2, max_iter=3)
+    with _pytest.raises(ValueError):
+        k_core(path, -1)
