@@ -1,5 +1,5 @@
-"""Graph statistics over extracted edge tables — triangle counting and
-clustering coefficients.
+"""Graph statistics over extracted edge tables — triangle counting,
+clustering coefficients, and k-core decomposition.
 
 Complements the engine's other graph consumers (PageRank authority,
 multi-source shortest paths, connected-component keep-lists): triangles
@@ -19,8 +19,10 @@ canonical MapReduce shape, re-expressed as two DataFrame joins):
    ONE wedge that can close), and
 4. close = wedge JOIN oriented edges on the (v, w) pair.
 
-Every step is a native equi-join/aggregate: two shuffles beyond the
-degree count, no Python, no iteration.  Skewed hubs are exactly what the
+Every counting step is a native equi-join/aggregate: two shuffles beyond
+the degree count, no Python, no iteration (k_core, below, is the one
+iterative member — the standard peel under the engine's graph-loop
+discipline).  Skewed hubs are exactly what the
 orientation neutralizes — the "last reducer" hub vertex becomes the HIGH
 end of its edges and pivots almost nothing.
 
