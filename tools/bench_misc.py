@@ -410,6 +410,14 @@ def main() -> None:
     bench("triangle_count_1m_edges",
           lambda: triangle_count(tedges).collect())
 
+    # k-core peel on the same 1M-edge graph: k chosen above the mean
+    # degree so several peel rounds actually run
+    from osmspark.operators.graph import k_core
+
+    bench("k_core_k15_1m_edges",
+          lambda: k_core(tedges, 15).agg(
+              F.count(F.lit(1)), F.sum("deg")).collect())
+
     out = {
         "metric": "round5_misc_ops_sec",
         "queries": results,
