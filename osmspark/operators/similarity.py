@@ -393,12 +393,17 @@ def embedding_near_dup_pairs(
     per-band join key is (band_id, sig) so the only shuffle is on the
     band buckets, and candidates are deduped (distinct on the id pair)
     BEFORE the exact verify so no pair is verified twice."""
+    # cache the banded signatures (id + two ints per band — tiny next to
+    # the vectors): the self-join references `base` from BOTH sides, and
+    # an uncached plan re-runs the hyperplane UDF and re-scans the fat
+    # embedding column once per side (same shared-subtree re-execution
+    # class as triangle_count; minhash_dedup_pairs already caches its sigs)
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             hyperplane_sigs_udf(n_bits, n_bands, dim=dim)(F.col(vec_col))
         ).alias("band", "blk"),
-    )
+    ).cache()
     l, r = base.alias("l"), base.alias("r")
     cand = (
         l.join(

@@ -120,17 +120,21 @@ def token_count_percentiles(docs: DataFrame, pcts=(50, 90, 99),
     ranked = stats.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy())
     )
-    parts = [
-        ranked.filter(
+    # ONE explode pass over the ranked frame: a per-percentile
+    # filter-then-union would reference `ranked` once per percentile and
+    # re-run the global sort window per reference (the shared-subtree
+    # re-execution class — measured on triangle_count)
+    return (
+        ranked.select(
+            F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+            "rn", "n", "n_tokens",
+        )
+        .filter(
             F.col("rn")
-            == F.ceil(F.col("n") * F.lit(p) / F.lit(100.0)).cast("long")
-        ).select(F.lit(p).alias("pct"), "n_tokens")
-        for p in pcts
-    ]
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out
+            == F.ceil(F.col("n") * F.col("pct") / F.lit(100.0)).cast("long")
+        )
+        .select("pct", "n_tokens")
+    )
 
 
 def token_count_percentiles_approx(docs: DataFrame, pcts=(50, 90, 99),
