@@ -302,7 +302,8 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                 for i in range(4)
             ])
         ).alias("block_id", "block_val"),
-    )
+    ).cache()  # self-joined below: uncached, the simhash chain re-scans
+    # the raw text column once per join side (shared-subtree re-execution)
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -643,7 +644,9 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         block_col.alias("block"),
         F.array_distinct(shingles_col(n, text_col)).alias("sh"),
-    )
+    ).cache()  # self-joined below: uncached, the shingle split/dedup runs
+    # once per join side; the operator's contract is bounded verifier
+    # blocks (not the raw corpus), so the cached frame stays small
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
