@@ -333,6 +333,54 @@ def traj_kinematics(traj: DataFrame, traj_col: str = "traj_id",
     )
 
 
+def split_trips(
+    traj: DataFrame,
+    gap_s: float = 300.0,
+    traj_col: str = "traj_id",
+    ts_col: str = "ts",
+    out_col: str = "trip_seq",
+) -> DataFrame:
+    """All input columns + `out_col` (int): the 0-based trip index within
+    each trajectory — a new trip starts at every fix whose time gap from
+    the previous fix EXCEEDS gap_s seconds.  The gap segmentation that
+    precedes od_matrix / stay-point / kinematics analyses when one
+    device's stream spans many journeys.
+
+    Contract: fixes order by (ts, lat, lon) — the trajectory family's
+    determinism convention (equal timestamps cannot leak shuffle order);
+    the first fix of a trajectory is trip 0; a duplicate timestamp (gap
+    0) never starts a trip; `ts` may be a timestamp or numeric seconds
+    as everywhere in the family; gap_s <= 0 raises (every fix would
+    start a trip).  SQL-expressible: lag + running SUM over the same
+    window (the pytest oracle runs it in DuckDB).
+
+    Plan shape: ONE exchange (hash by trajectory); the lag and the
+    running sum share the window's (partition, order), so the second
+    projection reuses the first's sort — no re-exchange, pure codegen.
+    Scale: same contract as traj_kinematics (a single mega-trajectory is
+    the documented skew limit; split by day upstream)."""
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    if out_col in traj.columns:
+        raise ValueError(
+            f"split_trips: input already has {out_col!r} — rename or drop "
+            "it upstream, or pass a different out_col")
+    from pyspark.sql import Window
+
+    base = traj.withColumn("__ts", F.col(ts_col).cast("double"))
+    w = Window.partitionBy(traj_col).orderBy("__ts", "lat", "lon")
+    lagged = base.select(
+        "*", (F.col("__ts") - F.lag("__ts").over(w)).alias("__dt"))
+    run = Window.partitionBy(traj_col).orderBy("__ts", "lat", "lon") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return lagged.select(
+        *traj.columns,
+        F.sum(
+            F.when(F.col("__dt") > F.lit(float(gap_s)), 1).otherwise(0)
+        ).over(run).cast("int").alias(out_col),
+    )
+
+
 def spike_flags(traj: DataFrame, max_speed: float,
                 traj_col: str = "traj_id", ts_col: str = "ts",
                 metric: str = "haversine") -> DataFrame:

@@ -165,3 +165,98 @@ def test_kinematics_guards_and_plan(spark):
         .executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1  # one hash exchange for the window
+
+
+# --- split_trips -------------------------------------------------------------
+
+def _trips_oracle(rows, gap_s):
+    """rows: [(traj, ts, lat, lon)] -> {(traj, ts, lat, lon): trip_seq}"""
+    out, by = {}, {}
+    for r in rows:
+        by.setdefault(r[0], []).append(r)
+    for tid, rs in by.items():
+        rs.sort(key=lambda r: (r[1], r[2], r[3]))
+        trip = 0
+        for i, (t, ts, la, lo) in enumerate(rs):
+            if i > 0 and ts - rs[i - 1][1] > gap_s:
+                trip += 1
+            out[(t, ts, la, lo)] = trip
+    return out
+
+
+def test_split_trips_hand_case(spark):
+    from osmspark.operators.trajectory import split_trips
+
+    rows = [
+        ("a", 0.0, 1.0, 1.0), ("a", 10.0, 1.1, 1.0),   # trip 0
+        ("a", 400.0, 1.2, 1.0),                         # gap 390 > 300: trip 1
+        ("a", 400.0, 1.3, 1.0),                         # dup ts: same trip
+        ("a", 701.0, 1.4, 1.0),                         # gap 301 > 300: trip 2
+        ("b", 5.0, 2.0, 2.0),                           # new traj: trip 0
+        ("b", 305.0, 2.1, 2.0),                         # gap == 300: NOT a break
+    ]
+    df = spark.createDataFrame(
+        rows, "traj_id string, ts double, lat double, lon double")
+    got = {(r["traj_id"], r["ts"], r["lat"], r["lon"]): r["trip_seq"]
+           for r in split_trips(df, gap_s=300.0).collect()}
+    assert got == _trips_oracle(rows, 300.0)
+    assert got[("a", 701.0, 1.4, 1.0)] == 2
+    assert got[("b", 305.0, 2.1, 2.0)] == 0  # strict >, not >=
+
+
+def test_split_trips_vs_duckdb_and_python(spark):
+    import duckdb
+
+    from osmspark.operators.trajectory import split_trips
+
+    rng = random.Random(11)
+    rows, ts = [], 0.0
+    for tid in range(12):
+        ts = 0.0
+        for _ in range(rng.randrange(1, 60)):
+            ts += rng.choice([1.0, 5.0, 30.0, 120.0, 601.0, 3600.0])
+            rows.append((f"t{tid}", ts,
+                         round(rng.uniform(-1, 1), 6),
+                         round(rng.uniform(-1, 1), 6)))
+    df = spark.createDataFrame(
+        rows, "traj_id string, ts double, lat double, lon double")
+    got = {(r["traj_id"], r["ts"], r["lat"], r["lon"]): r["trip_seq"]
+           for r in split_trips(df, gap_s=600.0).collect()}
+    assert got == _trips_oracle(rows, 600.0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE f(traj_id VARCHAR, ts DOUBLE, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO f VALUES (?,?,?,?)", rows)
+    exp = con.execute("""
+        WITH lagged AS (
+          SELECT traj_id, ts, lat, lon,
+                 ts - lag(ts) OVER w AS dt
+          FROM f WINDOW w AS (PARTITION BY traj_id ORDER BY ts, lat, lon)
+        )
+        SELECT traj_id, ts, lat, lon,
+               SUM(CASE WHEN dt > 600.0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY traj_id ORDER BY ts, lat, lon
+                       ROWS UNBOUNDED PRECEDING) AS trip_seq
+        FROM lagged
+    """).fetchall()
+    assert {tuple(r[:4]): int(r[4]) for r in exp} == got
+
+
+def test_split_trips_guards_and_plan(spark):
+    from osmspark.operators.trajectory import split_trips
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0, 1.0)],
+        "traj_id string, ts double, lat double, lon double")
+    with pytest.raises(ValueError, match="gap_s"):
+        split_trips(df, gap_s=0.0)
+    with pytest.raises(ValueError, match="trip_seq"):
+        split_trips(df.withColumn("trip_seq", F.lit(1)))
+    out = split_trips(df)
+    assert out.columns == ["traj_id", "ts", "lat", "lon", "trip_seq"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Cartesian" not in plan
+    # one hash exchange on the trajectory key; the running sum reuses
+    # the lag window's sort rather than re-exchanging
+    assert plan.count("Exchange hashpartitioning") == 1
