@@ -54,6 +54,7 @@ def triangle_count(
     materialize: bool = True,
     broadcast_vertex_limit: int = 4_000_000,
     join_strategy: str = "shuffle_hash",
+    _edges_canonical: bool = False,
 ) -> DataFrame:
     """Triangles in the undirected simple graph of `edges`.
 
@@ -97,9 +98,15 @@ def triangle_count(
         raise ValueError(
             f"join_strategy must be 'shuffle_hash' or 'sort_merge', "
             f"got {join_strategy!r}")
-    e = _canonical_edges(edges, src, dst)
-    if materialize:
-        e = e.localCheckpoint()
+    if _edges_canonical:
+        # internal fast path (clustering_coefficient): caller guarantees a
+        # canonical, already-materialized (lo, hi) edge set — skip the
+        # redundant DISTINCT shuffle + checkpoint write
+        e = edges
+    else:
+        e = _canonical_edges(edges, src, dst)
+        if materialize:
+            e = e.localCheckpoint()
 
     deg = e.select(
         F.explode(F.array(F.col("lo"), F.col("hi"))).alias("v")
@@ -161,7 +168,8 @@ def clustering_coefficient(
     deg = e.select(
         F.explode(F.array(F.col("lo"), F.col("hi"))).alias("vertex")
     ).groupBy("vertex").agg(F.count(F.lit(1)).alias("deg"))
-    tri = triangle_count(e, src="lo", dst="hi", per_vertex=True)
+    tri = triangle_count(e, src="lo", dst="hi", per_vertex=True,
+                         _edges_canonical=True)
     j = deg.join(tri, "vertex", "left").select(
         "vertex", "deg",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
