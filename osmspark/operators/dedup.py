@@ -644,9 +644,15 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         block_col.alias("block"),
         F.array_distinct(shingles_col(n, text_col)).alias("sh"),
-    ).cache()  # self-joined below: uncached, the shingle split/dedup runs
-    # once per join side; the operator's contract is bounded verifier
-    # blocks (not the raw corpus), so the cached frame stays small
+    )
+    # DELIBERATELY uncached despite the self-join recomputing the shingle
+    # split per side: the shingle-array frame is ~n-gram-factor x the
+    # corpus text, and in-repo callers do run it corpus-wide (blocked by
+    # language), so caching would pin a corpus-scale fat frame per call
+    # (disk blocks only free on unpersist) to save a map-side regexp pass.
+    # The small-frame self-joins (minhash sigs, simhash blocks, hyperplane
+    # bands) cache; this one recomputes.  Bounded-block callers that want
+    # the trade can .cache() their input themselves.
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -55,6 +56,7 @@ def triangle_count(
     broadcast_vertex_limit: int = 4_000_000,
     join_strategy: str = "shuffle_hash",
     _edges_canonical: bool = False,
+    _deg: DataFrame | None = None,
 ) -> DataFrame:
     """Triangles in the undirected simple graph of `edges`.
 
@@ -81,8 +83,11 @@ def triangle_count(
 
     The degree-attach joins broadcast when the vertex count (measured on
     the checkpointed degree table, one in-memory scan) is at most
-    `broadcast_vertex_limit` (~16 bytes/row, default ≈ the session's
-    64 MB broadcast budget); above it — e.g. web-scale vertex sets —
+    `broadcast_vertex_limit` (~16 bytes/row for integral ids, default ≈
+    the session's 64 MB broadcast budget; non-integral vertex ids build a
+    fatter hash relation, so the limit is scaled down 8x for them — an
+    explicit broadcast hint bypasses Spark's size-based safety, so the
+    gate must be conservative); above it — e.g. web-scale vertex sets —
     they stay partitioned joins.
 
     join_strategy='shuffle_hash' (default) hints the wedge and closing
@@ -108,14 +113,27 @@ def triangle_count(
         if materialize:
             e = e.localCheckpoint()
 
-    deg = e.select(
-        F.explode(F.array(F.col("lo"), F.col("hi"))).alias("v")
-    ).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    if _deg is not None:
+        deg = _deg
+    else:
+        deg = e.select(
+            F.explode(F.array(F.col("lo"), F.col("hi"))).alias("v")
+        ).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        if materialize:
+            deg = deg.localCheckpoint()
     # rank = (deg, id): total order; orient edges rank-low -> rank-high
     small_deg = False
     if materialize:
-        deg = deg.localCheckpoint()
-        small_deg = deg.count() <= broadcast_vertex_limit
+        # the row-count gate assumes ~16 bytes/row (long id + long count);
+        # string vertex ids build a far fatter hash relation, so scale the
+        # limit down rather than force a broadcast past the session's
+        # size-based safety (review catch: an explicit F.broadcast skips
+        # autoBroadcastJoinThreshold entirely)
+        limit = broadcast_vertex_limit
+        if not isinstance(deg.schema["v"].dataType,
+                          (T.LongType, T.IntegerType, T.ShortType)):
+            limit //= 8
+        small_deg = deg.count() <= limit
     dl = deg.select(F.col("v").alias("lo"), F.col("deg").alias("dlo"))
     dh = deg.select(F.col("v").alias("hi"), F.col("deg").alias("dhi"))
     if small_deg:
@@ -130,7 +148,8 @@ def triangle_count(
     )
     if materialize:
         oriented = oriented.localCheckpoint()
-        deg.unpersist()
+        if _deg is None:
+            deg.unpersist()  # caller-supplied frames stay the caller's
 
     a = oriented.select(F.col("u"), F.col("w").alias("x"))
     b = oriented.select(F.col("u"), F.col("w").alias("y"))
@@ -167,9 +186,12 @@ def clustering_coefficient(
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     deg = e.select(
         F.explode(F.array(F.col("lo"), F.col("hi"))).alias("vertex")
-    ).groupBy("vertex").agg(F.count(F.lit(1)).alias("deg"))
-    tri = triangle_count(e, src="lo", dst="hi", per_vertex=True,
-                         _edges_canonical=True)
+    ).groupBy("vertex").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    # hand the checkpointed degree table through so triangle_count does
+    # not run the identical aggregate a second time (review catch)
+    tri = triangle_count(
+        e, src="lo", dst="hi", per_vertex=True, _edges_canonical=True,
+        _deg=deg.select(F.col("vertex").alias("v"), "deg"))
     j = deg.join(tri, "vertex", "left").select(
         "vertex", "deg",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),

@@ -365,6 +365,11 @@ def split_trips(
         raise ValueError(
             f"split_trips: input already has {out_col!r} — rename or drop "
             "it upstream, or pass a different out_col")
+    internal = {"__ts", "__dt"} & set(traj.columns)
+    if internal:
+        raise ValueError(
+            f"split_trips: column(s) {sorted(internal)} collide with "
+            "internal helper names — rename them first")
     from pyspark.sql import Window
 
     base = traj.withColumn("__ts", F.col(ts_col).cast("double"))

@@ -267,8 +267,9 @@ def main() -> None:
         child, unit_key, size_key = TRI_CHILD, "edges_per_sec", "n_edges"
         artifact = "BENCH_SCALING_TRI.json"
         job_desc = ("triangle counting, hash-wired graph, mean degree ~20 "
-                    "(join-bound: degree attach + wedge generation + wedge "
-                    "close are big-big exchanges, nothing broadcastable, "
+                    "(join-bound: wedge generation + wedge close are "
+                    "big-big shuffled-hash exchanges; the degree-attach "
+                    "joins broadcast the counted ~13 MB degree table; "
                     "zero Python)")
     elif job == "pip":
         n_units = int(args[0]) if args else 400_000

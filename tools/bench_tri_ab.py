@@ -31,19 +31,18 @@ from osmspark.session import build_session
 from osmspark.operators.graph import triangle_count
 
 cores = int(sys.argv[1]); edges_path = sys.argv[2]; variant = sys.argv[3]
-extra = {{}}
-if variant == "hash":
-    # Disable the SMJ preference so ShuffledHashJoin is picked whenever a
-    # side fits the per-partition build budget; sorts drop out of the plan.
-    extra = {{"spark.sql.join.preferSortMergeJoin": "false",
-              "spark.sql.shuffledHashJoinFactor": "1"}}
-spark = build_session(f"tri-ab-{{cores}}-{{variant}}", cores=cores,
-                      extra_conf=extra)
+# the operator now DEFAULTS to shuffle_hash (this A/B motivated that), so
+# the smj variant must force join_strategy='sort_merge' explicitly — a
+# session-conf preferSortMergeJoin toggle alone would compare two
+# identical hinted plans (review catch after the default landed)
+strategy = "shuffle_hash" if variant == "hash" else "sort_merge"
+spark = build_session(f"tri-ab-{{cores}}-{{variant}}", cores=cores)
 e = spark.read.parquet(edges_path).persist()
 e.count()
-triangle_count(e.filter(F.col("src") < 5000)).collect()  # JIT warm-up
+triangle_count(e.filter(F.col("src") < 5000),
+               join_strategy=strategy).collect()  # JIT warm-up
 t0 = time.time()
-n = triangle_count(e).collect()[0]["n_triangles"]
+n = triangle_count(e, join_strategy=strategy).collect()[0]["n_triangles"]
 dt = time.time() - t0
 print(json.dumps({{"cores": cores, "variant": variant,
                    "sec": round(dt, 3), "n_triangles": n}}))
