@@ -468,6 +468,96 @@ def disk_cells_udf(res: int, max_ring: int | None = None):
     return hex_disk
 
 
+# sign bit used by disk_cells_flagged to mark CERTIFIED-INTERIOR cells:
+# packed ids always have bit 63 clear (pack() range-checks 28-bit axials),
+# so `flagged < 0` <=> interior and `flagged & DISK_CELL_MASK` recovers
+# the id — the flag rides the long array with zero extra Arrow columns.
+DISK_CELL_MASK = 0x7FFFFFFFFFFFFFFF
+_DISK_FLAG = np.int64(-0x8000000000000000)
+# conservative slack (meters) absorbing numpy-vs-JVM trig ulps on cell
+# boundaries and the arcsin chord evaluation error — both orders of
+# magnitude below a millimeter; classification flips only move cells
+# between the certified and exact-filter buckets, never change membership
+_CLASSIFY_SLACK_M = 1e-3
+
+
+def _cell_reach_m(cells: np.ndarray, res: int) -> np.ndarray:
+    """Sound upper bound (meters) on the distance from each cell's center
+    to ANY point the cell can own.  The hex is contained in the uv disk of
+    circumradius r_uv around its center; the gnomonic maps the center->
+    point geodesic to the straight uv segment inside that disk, whose
+    metric speed is <= R_e/n with n^2 = 1+u^2+v^2 (see the uv-exact block
+    comment above), so reach <= r_uv * R_e / n_min over the disk."""
+    _, _, q, r = unpack(cells)
+    u, v = _axial_to_xy(q.astype(np.float64), r.astype(np.float64), res)
+    r_uv = RES0_R / (SQRT7 ** res)
+    ua = np.maximum(np.abs(u) - r_uv, 0.0)
+    va = np.maximum(np.abs(v) - r_uv, 0.0)
+    return r_uv * EARTH_RADIUS_M / np.sqrt(1.0 + ua * ua + va * va)
+
+
+def disk_cells_flagged(lats, lons, cover_m, res: int,
+                       max_ring: int | None = None):
+    """`disk_cells` + exact per-cell classification (the radius join's
+    round-6 trig-skip optimization, guide §1.2 "don't compute things you
+    throw away"):
+
+      * cells whose every ownable point is PROVABLY beyond cover_m
+        (center distance - reach > cover) are DROPPED — they could only
+        ever produce filtered-out candidate pairs;
+      * cells whose every ownable point is PROVABLY within cover_m
+        (center distance + reach <= cover) come back with the sign bit
+        set (`< 0`): the caller may skip the exact distance filter for
+        their points entirely.
+
+    Both tests are conservative (slack absorbs trig ulps), so the
+    surviving-candidate set remains a superset of the true matches and
+    certified cells contain only true matches — membership is identical
+    to the plain disk_cells + exact-filter path.  The home cell contains
+    the query (distance 0) and is never dropped."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    cover = np.broadcast_to(
+        np.asarray(cover_m, dtype=np.float64), lats.shape
+    ).astype(np.float64)
+    cells = disk_cells(lats, lons, cover, res, max_ring=max_ring)
+    lens = np.fromiter((len(c) for c in cells), dtype=np.int64,
+                       count=len(cells))
+    if not len(cells) or lens.sum() == 0:
+        return cells
+    flat = np.concatenate(cells)
+    qidx = np.repeat(np.arange(len(cells), dtype=np.int64), lens)
+    cla, clo = cell_center_latlon(flat)
+    d_m = haversine_np(lats[qidx], lons[qidx], cla, clo)
+    reach = _cell_reach_m(flat, res) + _CLASSIFY_SLACK_M
+    cov = cover[qidx]
+    keep = d_m - reach <= cov
+    inside = d_m + reach <= cov
+    flat = np.where(inside, flat | _DISK_FLAG, flat)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return [
+        flat[s:s + n][keep[s:s + n]]
+        for s, n in zip(starts.tolist(), lens.tolist())
+    ]
+
+
+def disk_cells_flagged_udf(res: int, max_ring: int | None = None):
+    """Arrow pandas UDF form of `disk_cells_flagged`: array<long> where
+    negative entries are certified-interior cells (id = value &
+    DISK_CELL_MASK) and provably-outside cells are already dropped."""
+    if not 0 <= res <= 15:
+        raise ValueError("res must be in [0, 15]")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hex_disk_flagged(lat: pd.Series, lon: pd.Series,
+                         cover: pd.Series) -> pd.Series:
+        cells = disk_cells_flagged(lat.to_numpy(), lon.to_numpy(),
+                                   cover.to_numpy(), res, max_ring=max_ring)
+        return pd.Series(cells)
+
+    return hex_disk_flagged
+
+
 def kring_spill_udf(res: int, max_ring: int | None = None):
     """Arrow pandas UDF: (cell, lat, lon, ring, covered_m) -> array<long>
     seam-exact k-ring (kring_spill over the batch) — the kNN round loop's

@@ -211,7 +211,7 @@ def k_core(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 60,
+    max_iter: int = 500,
 ) -> DataFrame:
     """(vertex, deg): the k-core of the undirected simple graph — the
     maximal subgraph where every vertex keeps degree >= k — with each
@@ -225,10 +225,13 @@ def k_core(
     survivor list once, see the in-loop comment) + ONE semi-join pass
     filtering edges to surviving endpoints, the edge frame
     localCheckpointed each round with the superseded round's blocks
-    released, and ONE scalar driver action (the surviving-edge count).  Rounds needed = peel depth (<= the
-    degeneracy ordering's layer count, typically tens); a graph still
-    peeling at `max_iter` raises loudly rather than returning a
-    non-core.
+    released, and ONE scalar driver action (the surviving-edge count).
+    Rounds needed = peel depth; on expander-like graphs that is tens,
+    but a simultaneous peel removes only the current ENDPOINTS of a
+    degree-2 chain each round, so road-like graphs with long dangling
+    chains legitimately need hundreds of rounds — hence the generous
+    default (round-5 ADVICE).  A graph still peeling at `max_iter`
+    raises loudly rather than returning a non-core.
 
     k <= 1 returns every non-isolated vertex (isolated vertices never
     appear in an edge table); self-loops and duplicate/reverse edges

@@ -165,8 +165,14 @@ def _pair_predicate(prefix_a: str, prefix_b: str):
         | ((d4 == 0) & _on_bbox(bx2, by2, ax1, ay1, ax2, ay2))
     )
     kind = F.when(proper, F.lit("proper")).when(touch, F.lit("touch"))
-    # proper-crossing point: a1 + t*(a2-a1) with t = d3 / (d3 - d4)
-    t = d3 / (d3 - d4)
+    # proper-crossing point: a1 + t*(a2-a1) with t = d1 / (d1 - d2) — the
+    # parameter ALONG SEGMENT A (d1/d2 are a's endpoint orientations vs
+    # line b, so the sign flip brackets the crossing along a; same formula
+    # zonal._clip_fracs_one_poly uses).  d3/(d3-d4) is the parameter along
+    # b and must pair with b's endpoints — applying it to a's endpoints
+    # skewed every asymmetric crossing (round-5 ADVICE, verified:
+    # a=(0,0)-(10,0) x b=(2,-1)-(2,3) gave (2.5,0) instead of (2.0,0)).
+    t = d1 / (d1 - d2)
     ix = F.when(proper, ax1 + t * (ax2 - ax1))
     iy = F.when(proper, ay1 + t * (ay2 - ay1))
     return kind, iy, ix

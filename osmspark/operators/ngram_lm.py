@@ -78,22 +78,35 @@ def _grams(toks, n: int):
 
 
 def _gram_ctx_pairs(text_col: str, n: int):
-    """array<struct<g,c>> of (order-n gram, its order-(n-1) context) —
-    ONE tokenize and ONE pass per row: the tokens sit behind a `let_`
-    barrier and both strings build inside a single transform (the
-    context is the gram minus its last token, so a second slice of the
-    same window beats zip_with'ing two separately-built gram arrays)."""
+    """array<struct<gh,ch>> of (xxhash64 of the order-n gram, xxhash64 of
+    its order-(n-1) context) — ONE tokenize and ONE string build per
+    window: the tokens sit behind a `let_` barrier, the gram string is
+    let_-bound inside the window lambda (HOFs are interpreted, no CSE —
+    an unbound reference would rebuild it per use), and the context is
+    `substring_index(gram, ' ', n-1)` — the IDENTICAL string a second
+    slice+concat produced (tokens are whitespace-split, so the first
+    n-1 space-separated fields ARE the context), one scan instead of a
+    second slice+concat (round-6: score-path gram build was ~a third of
+    the scoring stage).  Hashing INSIDE the transform ships 16 bytes per
+    window through the explode instead of two strings; the hash values
+    are bit-identical to hashing the strings downstream, so every join
+    against the trained LM — and the declared oracle row — is
+    unchanged."""
 
     def body(tk):
         m = F.size(tk) - F.lit(n - 1)
         return F.when(
-            m <= 0, F.array().cast("array<struct<g:string,c:string>>")
+            m <= 0, F.array().cast("array<struct<gh:bigint,ch:bigint>>")
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(0), m - F.lit(1)),
-                lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(tk, i + 1, n)).alias("g"),
-                    F.concat_ws(" ", F.slice(tk, i + 1, n - 1)).alias("c"),
+                lambda i: let_(
+                    F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                    lambda g: F.struct(
+                        F.xxhash64(g).alias("gh"),
+                        F.xxhash64(
+                            F.substring_index(g, " ", n - 1)).alias("ch"),
+                    ),
                 ),
             )
         )
@@ -194,8 +207,8 @@ def score_perplexity(
         docs.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p"))
         .groupBy(
             "__id",
-            F.xxhash64(F.col("p.g")).alias("gram_hash"),
-            F.xxhash64(F.col("p.c")).alias("ctx_hash"),
+            F.col("p.gh").alias("gram_hash"),
+            F.col("p.ch").alias("ctx_hash"),
         )
         .agg(F.count(F.lit(1)).alias("m"))
     )

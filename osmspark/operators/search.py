@@ -128,9 +128,16 @@ def bm25_topk_indexed(
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
+    # round 6 (guide §1.2 "don't compute things you throw away"): the
+    # per-term score depends only on (term, doc, df, stats) — never on the
+    # query — so it is evaluated ONCE per matched POSTING, and only then
+    # fanned out to the queries sharing the term.  The old shape attached
+    # queries first and ran the BM25 arithmetic per (query, posting) row:
+    # ~(queries per term)x more FLOPs, and tf/dl/df/avgdl all rode the
+    # fan-out join instead of one double.  Row multiset and every score
+    # bit are unchanged (same expression tree over the same inputs).
     matched = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfs), "term")
+        postings.join(F.broadcast(dfs), "term")
         .crossJoin(F.broadcast(stats))
     )
     # expression tree mirrored EXACTLY by the oracle SQL — do not
@@ -144,8 +151,11 @@ def bm25_topk_indexed(
         (tf * (k1l + F.lit(1.0)))
         / (tf + k1l * ((F.lit(1.0) - bl) + bl * (dl / F.col("avgdl"))))
     )
-    per_term = matched.select(
-        "query_id", "doc_id", "term", sc.alias("__sc"))
+    per_term = (
+        matched.select("term", "doc_id", sc.alias("__sc"))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", "term", "__sc")
+    )
 
     if reproducible:
         scores = (

@@ -731,9 +731,13 @@ def adaptive_polygon_covers(
     pays for a fine cover it will discard.
 
     Returns (covers_by_res, res_by_pid, pieces_by_pid): covers_by_res
-    maps res -> list of (poly_id, cell) rows; pieces_by_pid carries each
-    polygon's split_ring pieces (split ONCE here — res trials and the
-    caller's refine all reuse them; round-4 review finding)."""
+    maps res -> list of (poly_id, cell, interior) rows — the interior
+    flag (cell certified fully inside the polygon, `_cover_pieces
+    _flagged`) rides along so the caller's refine can skip certified
+    candidates (round-6: the wide-polygon refine-flood fix);
+    pieces_by_pid carries each polygon's split_ring pieces (split ONCE
+    here — res trials and the caller's refine all reuse them; round-4
+    review finding)."""
     covers_by_res: dict[int, list] = {}
     res_by_pid: dict = {}
     pieces_by_pid: dict = {}
@@ -745,15 +749,15 @@ def adaptive_polygon_covers(
         )
         pieces_by_pid[pid] = pieces
         rr = min_res
-        cells, _ = _cover_pieces_flagged(pieces, rr)
+        cells, flags = _cover_pieces_flagged(pieces, rr)
         while rr < max_res and len(cells) * 7 <= max_cover_cells:
-            nxt, _ = _cover_pieces_flagged(pieces, rr + 1)
+            nxt, nflags = _cover_pieces_flagged(pieces, rr + 1)
             if len(nxt) > max_cover_cells:
                 break
-            rr, cells = rr + 1, nxt
+            rr, cells, flags = rr + 1, nxt, nflags
         res_by_pid[pid] = rr
         covers_by_res.setdefault(rr, []).extend(
-            (pid, int(c)) for c in cells
+            (pid, int(c), bool(i)) for c, i in zip(cells, flags)
         )
     return covers_by_res, res_by_pid, pieces_by_pid
 
@@ -801,7 +805,7 @@ def spatial_join_adaptive(
     cand_parts = []
     for rr in sorted(covers_by_res):
         cover_df = spark.createDataFrame(
-            covers_by_res[rr], "poly_id string, cell long"
+            covers_by_res[rr], "poly_id string, cell long, interior boolean"
         )
         if broadcast_polys:
             cover_df = F.broadcast(cover_df)
@@ -820,7 +824,20 @@ def spatial_join_adaptive(
     from functools import reduce
 
     cand = reduce(DataFrame.unionByName, cand_parts)
-    refined = cand.filter(refine(F.col(lat), F.col(lon), F.col("poly_id")))
+    # interior/boundary split NATIVELY, before any Python (round 6, guide
+    # §4.1/§2.3): a wide polygon's coarse cover certifies most of a dense
+    # region's candidates as interior (`_cover_pieces_flagged` — center
+    # inside AND clear of every edge by the cell-reach margin), and those
+    # rows now never cross the JVM->Python boundary at all — previously
+    # EVERY candidate paid Arrow transfer + the grouped ray-cast, which
+    # made a 150-deg-wide box re-ray-cast the whole city
+    # (pip_adaptive_mixed_dim, VERDICT r5 "what's wrong" #2).  Membership
+    # is identical: certification is conservative, and a cell straddling
+    # a piece boundary merely stays on the refine path.
+    refined = cand.filter(F.col("interior")).unionByName(
+        cand.filter(~F.col("interior")).filter(
+            refine(F.col(lat), F.col(lon), F.col("poly_id")))
+    ).drop("interior")
     attrs_df = spark.createDataFrame(
         attrs, "poly_id string, level string, postcode string"
     )

@@ -59,7 +59,108 @@ def render_density_tiles(
     points: DataFrame, zoom: int, px: int = 64, lat="lat", lon="lon"
 ) -> DataFrame:
     """(zoom, tile_x, tile_y, raster) — raster is a row-major px*px count
-    grid.  One shuffle keyed by tile; each group rasterizes in numpy."""
+    grid.
+
+    PURE NATIVE since round 6 (guide §2.3 "aggregate before you
+    shuffle"): pixel binning + a partial-aggregating groupBy(tile, pix)
+    — the shuffle carries at most px*px sparse counter rows per tile
+    instead of EVERY point (the old applyInPandas form shipped all rows
+    through Arrow into one Python task per tile, which both moved 10^6x
+    more bytes and capped parallelism at the tile count).  A second tiny
+    groupBy(tile) scatters the sparse counters into the dense array.
+
+    Binning matches the retained pandas twin (`render_density_tiles_
+    pandas`, np.histogram2d over range [0,1]): values in [0,1] bin by
+    floor(f*px) with the right edge f==1.0 folded into the last pixel,
+    values outside [0,1] (possible only for points past the tile clamp /
+    mercator domain) are dropped from the raster while still keeping
+    their tile's row.  For power-of-two px (every caller and the frozen
+    golden) the two paths are bit-identical — f*px is an exact scaling
+    and the histogram's dyadic bin edges are exact; at other px a value
+    within 1 ulp of a bin edge could land one pixel off the histogram
+    path (documented, not observed)."""
+    n = F.lit(float(1 << zoom))
+    mx, my = mercator_xy(F.col(lat), F.col(lon))
+    pxf = F.lit(float(px))
+    prepared = (
+        with_tile(points, zoom, lat, lon)
+        .withColumn("fx", mx * n - F.col("tile_x"))  # [0,1) within tile
+        .withColumn("fy", my * n - F.col("tile_y"))
+        .select("tile_x", "tile_y", "fx", "fy")
+    )
+    in_range = ((F.col("fx") >= 0) & (F.col("fx") <= 1)
+                & (F.col("fy") >= 0) & (F.col("fy") <= 1))
+    pix = F.when(
+        in_range,
+        (F.least(F.floor(F.col("fy") * pxf), F.lit(px - 1)) * px
+         + F.least(F.floor(F.col("fx") * pxf), F.lit(px - 1))).cast("int"),
+    )
+    sparse = (
+        prepared.select("tile_x", "tile_y", pix.alias("pix"))
+        .groupBy("tile_x", "tile_y", "pix")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # collect_list skips NULLs, so out-of-range rows vanish from the
+    # entries while their (tile, NULL pix) group row still keeps the tile
+    # present.  Dense assembly is RUN-LENGTH over the pix-sorted sparse
+    # entries — zeros between consecutive occupied pixels, then the count
+    # — because the obvious per-pixel map lookup is a trap: Spark's
+    # GetMapValue scans the map linearly, so px*px lookups against a
+    # px*px map is O(px^4) per tile (measured: 1.6 s -> 3.7 s on the
+    # bench raster).  Every element_at here is an O(1) ARRAY index; total
+    # work per tile is exactly px*px emitted elements.
+    zero = F.lit(0).cast("long")
+    entries = F.array_sort(
+        F.collect_list(
+            F.when(F.col("pix").isNotNull(),
+                   F.struct(F.col("pix"), F.col("cnt")))
+        )
+    )
+
+    def dense(e):
+        n = F.size(e)
+        prev_pix = lambda i: F.when(  # noqa: E731 — tiny plan-local helper
+            i == 0, F.lit(-1)
+        ).otherwise(F.element_at(e, i)["pix"])
+        runs = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(
+                F.array_repeat(
+                    zero,
+                    (F.element_at(e, i + 1)["pix"] - prev_pix(i) - 1
+                     ).cast("int")),
+                F.array(F.element_at(e, i + 1)["cnt"]),
+            ),
+        )
+        tail = F.array_repeat(
+            zero,
+            F.when(n == 0, F.lit(px * px)).otherwise(
+                F.lit(px * px - 1) - F.element_at(e, n)["pix"]
+            ).cast("int"),
+        )
+        return F.when(n == 0, F.array_repeat(zero, px * px)).otherwise(
+            F.concat(F.flatten(runs), tail)
+        )
+
+    return (
+        sparse.groupBy("tile_x", "tile_y")
+        .agg(entries.alias("e"))
+        .select(
+            F.lit(zoom).alias("zoom"),
+            F.col("tile_x").cast("int").alias("tile_x"),
+            F.col("tile_y").cast("int").alias("tile_y"),
+            dense(F.col("e")).alias("raster"),
+        )
+    )
+
+
+def render_density_tiles_pandas(
+    points: DataFrame, zoom: int, px: int = 64, lat="lat", lon="lon"
+) -> DataFrame:
+    """The pre-round-6 applyInPandas raster path (numpy histogram2d per
+    tile group) — kept as the independent cross-check twin for the native
+    `render_density_tiles` and for the A/B record; prefer the native form
+    everywhere (it shuffles sparse counters, not points)."""
     n = F.lit(float(1 << zoom))
     mx, my = mercator_xy(F.col(lat), F.col(lon))
     prepared = (

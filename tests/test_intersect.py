@@ -44,6 +44,24 @@ def test_crafted_cases(spark):
     assert only == {("x", "v")}
 
 
+def test_asymmetric_crossing_point(spark):
+    """Crossing with DIFFERENT parameters along a and b (t_a=0.2, t_b=0.25):
+    distinguishes parameter-along-a from parameter-along-b — the round-5
+    ADVICE bug (d3/(d3-d4), b's parameter, applied to a's endpoints, gave
+    lon 103.825 here instead of the true 103.820)."""
+    a = _mk(spark, [("a", 1.30, 103.80, 1.30, 103.90)])       # horizontal
+    b = _mk(spark, [("b", 1.29, 103.82, 1.33, 103.82)])       # vertical
+    got = segment_intersection_join(a, b).collect()
+    assert len(got) == 1
+    assert got[0]["kind"] == "proper"
+    assert abs(got[0]["int_lat"] - 1.30) < 1e-12
+    assert abs(got[0]["int_lon"] - 103.82) < 1e-12
+    # and the reversed orientation (b as the a-side): t swaps roles
+    got2 = segment_intersection_join(b, a).collect()
+    assert abs(got2[0]["int_lat"] - 1.30) < 1e-12
+    assert abs(got2[0]["int_lon"] - 103.82) < 1e-12
+
+
 def test_collinear_overlap_is_touch(spark):
     a = _mk(spark, [("a", 1.0, 103.0, 1.0, 103.10)])
     b = _mk(spark, [("b", 1.0, 103.05, 1.0, 103.20),   # overlaps 'a'

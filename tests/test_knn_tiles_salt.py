@@ -72,12 +72,19 @@ def test_tile_assignment_bounds(nodes):
 
 
 def test_raster_pandas_equals_native(nodes):
+    """The (now default, round 6) native sparse-agg raster must equal BOTH
+    independent twins: the retained applyInPandas/histogram2d path and the
+    map-assembly raster_from_counts path."""
     pts = nodes.select("lat", "lon")
     a = {(r["tile_x"], r["tile_y"]): list(r["raster"])
          for r in tiles.render_density_tiles(pts, zoom=12, px=16).collect()}
+    p = {(r["tile_x"], r["tile_y"]): list(r["raster"])
+         for r in tiles.render_density_tiles_pandas(
+             pts, zoom=12, px=16).collect()}
     b = {(r["tile_x"], r["tile_y"]): list(r["raster"])
          for r in tiles.raster_from_counts(pts, zoom=12, px=16).collect()}
-    assert set(a) == set(b)
+    assert set(a) == set(b) == set(p)
+    assert sum(1 for k in a if a[k] != p[k]) == 0
     mismatches = sum(1 for k in a if a[k] != b[k])
     assert mismatches == 0
     # raster mass == point count per tile

@@ -414,8 +414,13 @@ def test_spatial_join_adaptive_mixed_dim(spark):
     assert res_by_pid["cap"] < 7            # huge polygon -> coarser res
     from collections import Counter
     for rr, rows in covers_by_res.items():
-        for pid, n in Counter(p for p, _ in rows).items():
+        for pid, n in Counter(p for p, _c, _i in rows).items():
             assert n <= 2048, (rr, pid, n)
+    # round-6 flag shape: every cover row carries the interior bool, and
+    # the big cap certifies a substantial interior (the refine-skip fuel)
+    flat = [r for rows in covers_by_res.values() for r in rows]
+    assert all(isinstance(r[2], bool) for r in flat)
+    assert any(r[2] for r in flat if r[0] == "cap")
 
 
 def test_wide_ring_cover_superset():
