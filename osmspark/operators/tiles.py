@@ -4,10 +4,13 @@ Two layers:
   * `with_tile` / `tile_counts`: Web-Mercator (z/x/y) tile assignment and
     per-tile density — pure native expressions (whole-stage codegen), the
     scale path for 10^12 points: one shuffle keyed by tile.
-  * `render_density_tiles`: per-tile PX*PX rasters via groupBy(tile) ->
-    applyInPandas (numpy histogram2d per group) — the B6 mapInPandas-style
-    custom operator; output rows (z, tile_x, tile_y, raster array<int>)
-    with deterministic binning so rasters are hash-comparable.
+  * `render_density_tiles`: per-tile PX*PX rasters — PURE NATIVE since
+    round 6 (pixel binning + partial-agg groupBy(tile, pix) + run-length
+    dense assembly; the shuffle carries sparse counters, not points);
+    `render_density_tiles_pandas` keeps the original applyInPandas /
+    numpy-histogram2d form as the independent cross-check twin.  Output
+    rows (z, tile_x, tile_y, raster array<long>) with deterministic
+    binning so rasters are hash-comparable.
 
 An integer-grid variant (`int_tile`) bins by exact integer arithmetic —
 used for the DuckDB-oracle query (bit-identical across engines).
